@@ -1,0 +1,81 @@
+"""Simulation configuration.
+
+The reference keeps iteration counts / lane widths as compile-time constants
+plus keyboard toggles (SURVEY.md §5.6).  Here the analog is a frozen,
+hashable dataclass passed to ``jax.jit`` as a static argument, so XLA
+specializes the compiled step on capacities and iteration counts exactly the
+way the C++ build specialized on template parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static (trace-time) simulation parameters.
+
+    Capacities are static shape budgets: dynamic pair/contact counts live in
+    fixed buffers with validity masks and overflow counters (SURVEY.md §7
+    hard part #1).
+    """
+
+    # --- time stepping ---
+    dt: float = 1.0 / 60.0
+    gravity: Tuple[float, float] = (0.0, -10.0)
+
+    # --- solver iterations (velocity = "impulses", position = "displacement",
+    #     SURVEY.md §3.3 hot loops #1/#2) ---
+    velocity_iterations: int = 10
+    position_iterations: int = 6
+
+    # --- contact model ---
+    # Penetration allowed before the displacement pass pushes back.
+    slop: float = 0.01
+    # Fraction of (penetration - slop) converted to displacement target per
+    # position iteration (split-impulse / pseudo-velocity scheme: the
+    # velocity pass carries no Baumgarte bias; see SURVEY.md §3.4).
+    contact_beta: float = 0.2
+    # Cap on the per-step displacement target, to avoid explosive
+    # depenetration of deeply overlapping spawns.
+    max_displacement_velocity: float = 0.2
+    # Relative approach speed below which restitution is ignored.
+    restitution_threshold: float = 1.0
+
+    # --- capacities (static shapes) ---
+    max_bodies: int = 1024
+    max_pairs: int = 8192           # candidate pair buffer (broadphase out)
+    max_contacts: int = 16384       # = 2 * max_pairs contact-point slots
+
+    # --- broadphase ---
+    # "n2"  : masked O(N^2) all-pairs (small scenes, exact)
+    # "sap" : sort by min-x + fixed forward window (TPU-shaped sweep&prune)
+    broadphase: str = "sap"
+    sap_window: int = 16            # forward neighbors examined per body
+
+    # --- solver scheduling ---
+    # Number of Gauss-Seidel color classes.  phyx packs joints into
+    # conflict-free SIMD blocks (SURVEY.md §2 C7); here a color class is the
+    # analogous conflict-free batch.  Contacts left uncolored after
+    # `num_colors` Luby rounds fall into the final class, where scatter-add
+    # makes them Jacobi-like (still deterministic and stable).
+    num_colors: int = 16
+
+    # --- solver backend ---
+    # "xla"    : pure-XLA gather/scatter sweeps (always available, the
+    #            correctness fallback per SURVEY.md §7.6)
+    # "pallas" : fused VMEM-resident Pallas iteration kernel (flagship)
+    solver_backend: str = "xla"
+
+    def __post_init__(self):
+        if self.max_contacts < 2 * self.max_pairs:
+            object.__setattr__(self, "max_contacts", 2 * self.max_pairs)
+        if self.broadphase not in ("n2", "sap"):
+            raise ValueError(f"unknown broadphase {self.broadphase!r}")
+        if self.solver_backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown solver_backend {self.solver_backend!r}")
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
