@@ -1,0 +1,166 @@
+"""Broadphase: candidate pair generation under static shapes.
+
+TPU-native rebuild of the reference's sorted-AABB sweep & prune
+(SURVEY.md §2 C3, §3.5).  The C++ version emits a variable-length pair list
+while scanning sorted x-intervals; here the same algorithm is re-shaped for
+XLA's static-shape model:
+
+  * ``sap``: sort bodies by AABB min-x (``jax.lax.sort``), examine a fixed
+    window of forward neighbors per body (the sweep), and compact the
+    surviving pairs into a fixed ``max_pairs`` buffer with a prefix-sum
+    scatter.  Truncated windows and buffer overflow are *counted*, not
+    silently dropped, so callers can grow budgets (SURVEY.md §7 hard part #1).
+  * ``n2``: masked all-pairs upper triangle — exact, used for small scenes
+    and as the ground truth in tests.
+
+Both paths emit pairs sorted lexicographically by ``(pi, pj)`` so the
+contact-cache join (cache.py) is a deterministic merge.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from phyx_tpu.config import SimConfig
+from phyx_tpu.types import Bodies, ContactCache, _pytree_dataclass
+
+EMPTY = ContactCache.EMPTY  # int32 sentinel key, sorts last
+
+
+@_pytree_dataclass
+class Pairs:
+    """Fixed-capacity candidate pair buffer (output of broadphase).
+
+    ``pi < pj`` body indices, lex-sorted, with free slots at ``EMPTY``.
+    """
+
+    pi: jax.Array        # (P,) int32
+    pj: jax.Array        # (P,) int32
+    valid: jax.Array     # (P,) bool
+    num: jax.Array       # ()  int32  number of valid pairs
+    overflow: jax.Array  # ()  int32  pairs dropped or possibly missed
+
+
+def compute_aabbs(bodies: Bodies):
+    """Per-body world AABB of the rotated box: extent = |R| @ half_extent."""
+    c = jnp.abs(bodies.rot[:, 0])
+    s = jnp.abs(bodies.rot[:, 1])
+    hx, hy = bodies.half_extent[:, 0], bodies.half_extent[:, 1]
+    ex = c * hx + s * hy
+    ey = s * hx + c * hy
+    e = jnp.stack([ex, ey], axis=-1)
+    return bodies.pos - e, bodies.pos + e
+
+
+def _finish(pi, pj, valid, overflow, max_pairs):
+    """Compact candidate (pi, pj, valid) of any shape into a lex-sorted
+    fixed buffer of size max_pairs."""
+    pi = pi.reshape(-1).astype(jnp.int32)
+    pj = pj.reshape(-1).astype(jnp.int32)
+    valid = valid.reshape(-1)
+
+    pi = jnp.where(valid, pi, EMPTY)
+    pj = jnp.where(valid, pj, EMPTY)
+
+    num = valid.sum(dtype=jnp.int32)
+    # Lexicographic sort by (pi, pj); EMPTY slots sort to the end.
+    pi_s, pj_s = jax.lax.sort((pi, pj), num_keys=2)
+    # Keep the first max_pairs entries.
+    pi_out = jax.lax.dynamic_slice_in_dim(pi_s, 0, max_pairs) \
+        if pi_s.shape[0] >= max_pairs else jnp.pad(
+            pi_s, (0, max_pairs - pi_s.shape[0]), constant_values=EMPTY)
+    pj_out = jax.lax.dynamic_slice_in_dim(pj_s, 0, max_pairs) \
+        if pj_s.shape[0] >= max_pairs else jnp.pad(
+            pj_s, (0, max_pairs - pj_s.shape[0]), constant_values=EMPTY)
+    dropped = jnp.maximum(num - max_pairs, 0)
+    return Pairs(
+        pi=pi_out,
+        pj=pj_out,
+        valid=pi_out != EMPTY,
+        num=jnp.minimum(num, max_pairs),
+        overflow=(overflow + dropped).astype(jnp.int32),
+    )
+
+
+def broadphase_n2(bodies: Bodies, cfg: SimConfig) -> Pairs:
+    """Masked O(N^2) all-pairs broadphase (exact; small scenes / tests)."""
+    n = bodies.capacity
+    lo, hi = compute_aabbs(bodies)
+    dynamic = bodies.inv_mass > 0.0
+
+    # (i, j) grids over the upper triangle
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tri = jj > ii
+
+    overlap_x = (lo[:, None, 0] <= hi[None, :, 0]) & (lo[None, :, 0] <= hi[:, None, 0])
+    overlap_y = (lo[:, None, 1] <= hi[None, :, 1]) & (lo[None, :, 1] <= hi[:, None, 1])
+    act = bodies.active[:, None] & bodies.active[None, :]
+    dyn = dynamic[:, None] | dynamic[None, :]
+
+    valid = tri & overlap_x & overlap_y & act & dyn
+    return _finish(ii, jj, valid, jnp.int32(0), cfg.max_pairs)
+
+
+def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
+    """Sorted sweep & prune with a fixed forward window (SURVEY.md §2 C3).
+
+    Inactive bodies are parked at huge distinct x (types.py ``_parked``) so
+    they sort to the end and never overlap anything.
+    """
+    n = bodies.capacity
+    w = min(cfg.sap_window, n - 1)
+    lo, hi = compute_aabbs(bodies)
+    dynamic = bodies.inv_mass > 0.0
+
+    # Sort bodies by AABB min-x.  Keys for inactive bodies are already huge.
+    order = jnp.argsort(lo[:, 0]).astype(jnp.int32)
+    slo = lo[order]
+    shi = hi[order]
+    sact = bodies.active[order]
+    sdyn = dynamic[order]
+
+    # Sweep: body at sorted position k against sorted positions k+1..k+w.
+    # shift arrays by d; out-of-range neighbors masked off.
+    def neighbor(d):
+        j_lo = jnp.roll(slo, -d, axis=0)
+        j_hi = jnp.roll(shi, -d, axis=0)
+        j_act = jnp.roll(sact, -d)
+        j_dyn = jnp.roll(sdyn, -d)
+        j_ord = jnp.roll(order, -d)
+        k = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        in_range = k + d < n
+        x_open = j_lo[:, 0] <= shi[:, 0]            # sweep condition
+        y_overlap = (j_lo[:, 1] <= shi[:, 1]) & (slo[:, 1] <= j_hi[:, 1])
+        ok = in_range & x_open & y_overlap & sact & j_act & (sdyn | j_dyn)
+        a = jnp.minimum(order, j_ord)
+        b = jnp.maximum(order, j_ord)
+        return a, b, ok, in_range & x_open
+
+    aa, bb, vv, opens = [], [], [], []
+    for d in range(1, w + 1):
+        a, b, ok, open_ = neighbor(d)
+        aa.append(a)
+        bb.append(b)
+        vv.append(ok)
+        opens.append(open_)
+
+    pi = jnp.stack(aa)      # (w, n)
+    pj = jnp.stack(bb)
+    valid = jnp.stack(vv)
+
+    # Window truncation: if the farthest neighbor's x-interval still opens
+    # before ours closes, pairs beyond the window may have been missed.
+    _, _, _, open_last = neighbor(w + 1) if w + 1 < n else (0, 0, 0, jnp.zeros(n, bool))
+    missed = open_last.sum(dtype=jnp.int32) if w + 1 < n else jnp.int32(0)
+
+    return _finish(pi, pj, valid, missed, cfg.max_pairs)
+
+
+def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
+    if cfg.broadphase == "n2":
+        return broadphase_n2(bodies, cfg)
+    return broadphase_sap(bodies, cfg)

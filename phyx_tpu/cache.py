@@ -1,0 +1,98 @@
+"""Contact cache: cross-frame impulse persistence (warm starting).
+
+TPU-native rebuild of the reference's per-pair Manifold cache
+(SURVEY.md §2 C5): the C++ engine keeps a hash map of Manifolds and matches
+new contact points to old ones by feature id so accumulated impulses carry
+over frames.  Here the cache is a fixed-capacity SoA table sorted
+lexicographically by ``(pi, pj)``; the per-frame join from the fresh
+(lex-sorted) pair buffer is a fixed-depth vectorized binary search, entirely
+on device (BASELINE.json:5 "contact caching ... fully on TPU").
+
+Two int32 key columns (not a fused ``i*N+j`` key) keep this correct at
+100k+ bodies without int64.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from phyx_tpu.broadphase import EMPTY, Pairs
+from phyx_tpu.narrowphase import Contacts
+from phyx_tpu.types import ContactCache
+
+
+def lex_searchsorted(ka: jax.Array, kb: jax.Array,
+                     qa: jax.Array, qb: jax.Array) -> jax.Array:
+    """Vectorized lower-bound binary search on two lex-ordered key columns.
+
+    (ka, kb) must be sorted by (ka, then kb).  Returns for each query
+    (qa, qb) the first index where (ka, kb) >= (qa, qb).
+    """
+    n = ka.shape[0]
+    lo = jnp.zeros(qa.shape, jnp.int32)
+    hi = jnp.full(qa.shape, n, jnp.int32)
+    steps = max(1, n.bit_length())
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        midc = jnp.minimum(mid, n - 1)
+        less = (ka[midc] < qa) | ((ka[midc] == qa) & (kb[midc] < qb))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+        return lo, hi
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def warm_start_from_cache(contacts: Contacts, pairs: Pairs,
+                          cache: ContactCache) -> Contacts:
+    """Fill contacts.warm_n / warm_t from the previous frame's cache.
+
+    Contact ``2p+k`` belongs to pair-slot ``p``; we look the pair up in the
+    sorted cache and match each point's feature id against the (up to two)
+    cached feature ids of that pair.
+    """
+    P = pairs.pi.shape[0]
+    pos = lex_searchsorted(cache.pi, cache.pj, pairs.pi, pairs.pj)
+    posc = jnp.minimum(pos, cache.capacity - 1)
+    hit = (cache.pi[posc] == pairs.pi) & (cache.pj[posc] == pairs.pj) \
+        & (pairs.pi != EMPTY)
+
+    # cached per-pair data, per pair-slot
+    cfid = cache.fid[posc]                 # (P, 2)
+    cn = cache.normal_impulse[posc]        # (P, 2)
+    ct = cache.friction_impulse[posc]      # (P, 2)
+
+    # expand to contact slots (2 per pair)
+    fid = contacts.fid.reshape(P, 2)       # (P, 2) fresh feature ids
+    match0 = (fid == cfid[:, 0:1]) & hit[:, None] & (fid >= 0)
+    match1 = (fid == cfid[:, 1:2]) & hit[:, None] & (fid >= 0)
+    warm_n = jnp.where(match0, cn[:, 0:1], jnp.where(match1, cn[:, 1:2], 0.0))
+    warm_t = jnp.where(match0, ct[:, 0:1], jnp.where(match1, ct[:, 1:2], 0.0))
+
+    return contacts.replace(
+        warm_n=warm_n.reshape(-1).astype(jnp.float32),
+        warm_t=warm_t.reshape(-1).astype(jnp.float32),
+    )
+
+
+def build_cache(contacts: Contacts, pairs: Pairs,
+                accum_n: jax.Array, accum_t: jax.Array) -> ContactCache:
+    """Store this frame's accumulated impulses keyed by (pair, feature id).
+
+    The pair buffer is already lex-sorted with EMPTY slots last, so the new
+    cache is simply the positional re-grouping of the flat contact arrays.
+    """
+    P = pairs.pi.shape[0]
+    valid = contacts.valid.reshape(P, 2)
+    fid = jnp.where(valid, contacts.fid.reshape(P, 2), -1)
+    return ContactCache(
+        pi=pairs.pi,
+        pj=pairs.pj,
+        fid=fid,
+        normal_impulse=jnp.where(valid, accum_n.reshape(P, 2), 0.0),
+        friction_impulse=jnp.where(valid, accum_t.reshape(P, 2), 0.0),
+    )

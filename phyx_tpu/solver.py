@@ -1,0 +1,189 @@
+"""Sequential-impulse solver: prepare + graph-colored Gauss-Seidel sweeps.
+
+TPU-native rebuild of the reference solver (SURVEY.md §2 C6-C8, §3.3-3.4):
+
+  * ``prepare``       = PrepareJoints: Jacobian projectors collapse to 2D
+    scalars (normal / tangent rows), effective masses, restitution target
+    velocity, displacement target (penetration - slop), all batched.
+  * ``warm_start``    = re-applying cached accumulated impulses.
+  * ``solve_velocity``= SolveJointsImpulsesSoA: per velocity iteration,
+    sweep color classes sequentially; within a color all contacts solve in
+    parallel (gather -> row solve -> clamp accumulated -> scatter), which is
+    exactly the scalar algorithm under the color-sorted joint order because
+    colors are conflict-free on dynamic bodies (coloring.py).
+  * ``solve_position``= SolveJointsDisplacementSoA: same sweep on
+    pseudo-velocities (split impulse), target = beta*(penetration - slop).
+
+This is the pure-XLA backend (``cfg.solver_backend == "xla"``) — the
+always-available correctness fallback per SURVEY.md §7.6; the fused Pallas
+backend (kernels/) must match it bit-for-bit up to reassociation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from phyx_tpu import math2d as m2
+from phyx_tpu.config import SimConfig
+from phyx_tpu.narrowphase import Contacts
+from phyx_tpu.types import Bodies
+
+
+def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig) -> Contacts:
+    """Batched PrepareJoints (SURVEY.md §3.4)."""
+    b1, b2 = contacts.b1, contacts.b2
+    n = contacts.normal
+    t = m2.perp(n)
+    r1, r2 = contacts.r1, contacts.r2
+    im1, im2 = bodies.inv_mass[b1], bodies.inv_mass[b2]
+    ii1, ii2 = bodies.inv_inertia[b1], bodies.inv_inertia[b2]
+
+    rn1, rn2 = m2.cross(r1, n), m2.cross(r2, n)
+    kn = im1 + im2 + ii1 * rn1 * rn1 + ii2 * rn2 * rn2
+    mass_n = jnp.where(kn > 0.0, 1.0 / jnp.maximum(kn, 1e-30), 0.0)
+
+    rt1, rt2 = m2.cross(r1, t), m2.cross(r2, t)
+    kt = im1 + im2 + ii1 * rt1 * rt1 + ii2 * rt2 * rt2
+    mass_t = jnp.where(kt > 0.0, 1.0 / jnp.maximum(kt, 1e-30), 0.0)
+
+    friction = jnp.sqrt(bodies.friction[b1] * bodies.friction[b2])
+
+    pv1 = bodies.vel[b1] + m2.cross_sv(bodies.angvel[b1], r1)
+    pv2 = bodies.vel[b2] + m2.cross_sv(bodies.angvel[b2], r2)
+    vn0 = m2.dot(n, pv2 - pv1)
+    e = jnp.maximum(bodies.restitution[b1], bodies.restitution[b2])
+    dst_v = jnp.where(vn0 < -cfg.restitution_threshold, -e * vn0, 0.0)
+
+    dst_dv = jnp.minimum(
+        cfg.max_displacement_velocity,
+        cfg.contact_beta * jnp.maximum(0.0, contacts.penetration - cfg.slop))
+
+    v = contacts.valid
+    zero = jnp.zeros_like(mass_n)
+    return contacts.replace(
+        mass_n=jnp.where(v, mass_n, zero),
+        mass_t=jnp.where(v, mass_t, zero),
+        friction=jnp.where(v, friction, zero),
+        dst_v=jnp.where(v, dst_v, zero),
+        dst_dv=jnp.where(v, dst_dv, zero),
+    )
+
+
+def _apply(vel, angvel, c: Contacts, im1, ii1, im2, ii2, impulse):
+    """Scatter-add an impulse (C, 2) to both bodies of each contact.
+
+    Conflict-free within a color class by construction (coloring.py); in
+    the final Jacobi class scatter-add accumulates deterministically."""
+    vel = vel.at[c.b1].add(-impulse * im1[:, None])
+    angvel = angvel.at[c.b1].add(-ii1 * m2.cross(c.r1, impulse))
+    vel = vel.at[c.b2].add(impulse * im2[:, None])
+    angvel = angvel.at[c.b2].add(ii2 * m2.cross(c.r2, impulse))
+    return vel, angvel
+
+
+def warm_start(bodies: Bodies, contacts: Contacts) -> Bodies:
+    """Apply cached accumulated impulses before iterating (SURVEY.md §3.2)."""
+    c = contacts
+    n = c.normal
+    t = m2.perp(n)
+    imp = n * c.warm_n[:, None] + t * c.warm_t[:, None]
+    imp = jnp.where(c.valid[:, None], imp, 0.0)
+    im1, im2 = bodies.inv_mass[c.b1], bodies.inv_mass[c.b2]
+    ii1, ii2 = bodies.inv_inertia[c.b1], bodies.inv_inertia[c.b2]
+    vel, angvel = _apply(bodies.vel, bodies.angvel, c, im1, ii1, im2, ii2, imp)
+    return bodies.replace(vel=vel, angvel=angvel)
+
+
+def solve_velocity(bodies: Bodies, contacts: Contacts, cfg: SimConfig
+                   ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array]:
+    """Velocity ("impulses") iterations — hot loop #1 (SURVEY.md §3.3).
+
+    Returns (bodies', accum_n, accum_t, residual) where residual is the max
+    absolute impulse delta of the LAST iteration (the convergence metric of
+    BASELINE.json:5).
+    """
+    c = contacts
+    n = c.normal
+    t = m2.perp(n)
+    im1, im2 = bodies.inv_mass[c.b1], bodies.inv_mass[c.b2]
+    ii1, ii2 = bodies.inv_inertia[c.b1], bodies.inv_inertia[c.b2]
+
+    def rel_vel(vel, angvel):
+        pv1 = vel[c.b1] + m2.cross_sv(angvel[c.b1], c.r1)
+        pv2 = vel[c.b2] + m2.cross_sv(angvel[c.b2], c.r2)
+        return pv2 - pv1
+
+    def color_sweep(col, carry):
+        vel, angvel, an, at, res = carry
+        mask = c.valid & (c.color == col)
+        # normal limiter
+        dv = m2.dot(n, rel_vel(vel, angvel))
+        d = (c.dst_v - dv) * c.mass_n
+        new_an = jnp.maximum(an + d, 0.0)
+        d = jnp.where(mask, new_an - an, 0.0)
+        an = an + d
+        vel, angvel = _apply(vel, angvel, c, im1, ii1, im2, ii2,
+                             n * d[:, None])
+        res = jnp.maximum(res, jnp.max(jnp.abs(d)))
+        # friction limiter (clamped by accumulated normal impulse)
+        dvt = m2.dot(t, rel_vel(vel, angvel))
+        d = -dvt * c.mass_t
+        max_f = c.friction * an
+        new_at = jnp.clip(at + d, -max_f, max_f)
+        d = jnp.where(mask, new_at - at, 0.0)
+        at = at + d
+        vel, angvel = _apply(vel, angvel, c, im1, ii1, im2, ii2,
+                             t * d[:, None])
+        res = jnp.maximum(res, jnp.max(jnp.abs(d)))
+        return vel, angvel, an, at, res
+
+    def iteration(_, carry):
+        vel, angvel, an, at, _ = carry
+        # reset residual: the reported value is the final iteration's
+        carry = (vel, angvel, an, at, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, cfg.num_colors, color_sweep, carry)
+
+    init = (bodies.vel, bodies.angvel, contacts.warm_n, contacts.warm_t,
+            jnp.float32(0.0))
+    vel, angvel, an, at, res = jax.lax.fori_loop(
+        0, cfg.velocity_iterations, iteration, init)
+    return bodies.replace(vel=vel, angvel=angvel), an, at, res
+
+
+def solve_position(bodies: Bodies, contacts: Contacts, cfg: SimConfig
+                   ) -> Bodies:
+    """Displacement iterations on pseudo-velocities — hot loop #2.
+
+    Split-impulse: resolves penetration without injecting kinetic energy;
+    results land in bodies.dvel / bodies.dangvel, consumed once by position
+    integration (step.py) and then zeroed.
+    """
+    c = contacts
+    n = c.normal
+    im1, im2 = bodies.inv_mass[c.b1], bodies.inv_mass[c.b2]
+    ii1, ii2 = bodies.inv_inertia[c.b1], bodies.inv_inertia[c.b2]
+
+    def color_sweep(col, carry):
+        dvel, dang, ad = carry
+        mask = c.valid & (c.color == col)
+        pv1 = dvel[c.b1] + m2.cross_sv(dang[c.b1], c.r1)
+        pv2 = dvel[c.b2] + m2.cross_sv(dang[c.b2], c.r2)
+        dv = m2.dot(n, pv2 - pv1)
+        d = (c.dst_dv - dv) * c.mass_n
+        new_ad = jnp.maximum(ad + d, 0.0)
+        d = jnp.where(mask, new_ad - ad, 0.0)
+        ad = ad + d
+        dvel, dang = _apply(dvel, dang, c, im1, ii1, im2, ii2, n * d[:, None])
+        return dvel, dang, ad
+
+    def iteration(_, carry):
+        return jax.lax.fori_loop(0, cfg.num_colors, color_sweep, carry)
+
+    zeros_ad = jnp.zeros_like(contacts.warm_n)
+    dvel, dang, _ = jax.lax.fori_loop(
+        0, cfg.position_iterations, iteration,
+        (jnp.zeros_like(bodies.vel), jnp.zeros_like(bodies.angvel), zeros_ad))
+    return bodies.replace(dvel=dvel, dangvel=dang)

@@ -1,0 +1,98 @@
+"""The fused simulation step — TPU-native ``Scene::Update``.
+
+One jitted program per (config, capacity) pair, zero host round-trips
+(SURVEY.md §3.2, BASELINE.json:5):
+
+    integrate velocities (gravity)
+    -> broadphase (sorted sweep & prune, static shapes)
+    -> narrowphase (batched SAT + clip)
+    -> contact-cache join (warm-start impulses carried across frames)
+    -> on-device graph coloring
+    -> prepare + warm start + velocity sweeps + displacement sweeps
+    -> integrate positions (velocity + split-impulse pseudo-velocity)
+    -> rebuild cache, emit stats
+
+``step`` is a pure ``State -> State`` function of SoA pytrees: it composes
+with ``jax.jit``, ``jax.vmap`` (batched scenes, BASELINE.json:11) and
+``jax.lax.scan`` (rollouts) with no special casing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from phyx_tpu import math2d as m2
+from phyx_tpu import solver
+from phyx_tpu.broadphase import broadphase
+from phyx_tpu.cache import build_cache, warm_start_from_cache
+from phyx_tpu.coloring import color_contacts
+from phyx_tpu.config import SimConfig
+from phyx_tpu.narrowphase import narrowphase
+from phyx_tpu.types import Bodies, SolverStats, State
+
+
+def integrate_velocities(bodies: Bodies, cfg: SimConfig) -> Bodies:
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+    dynamic = (bodies.inv_mass > 0.0) & bodies.active
+    vel = jnp.where(dynamic[:, None], bodies.vel + g * cfg.dt, bodies.vel)
+    return bodies.replace(vel=vel)
+
+
+def integrate_positions(bodies: Bodies, cfg: SimConfig) -> Bodies:
+    dynamic = (bodies.inv_mass > 0.0) & bodies.active
+    pos = jnp.where(dynamic[:, None],
+                    bodies.pos + bodies.vel * cfg.dt + bodies.dvel,
+                    bodies.pos)
+    dw = bodies.angvel * cfg.dt + bodies.dangvel
+    rot = jnp.where(dynamic[:, None],
+                    m2.rot_advance(bodies.rot, dw), bodies.rot)
+    zero2 = jnp.zeros_like(bodies.dvel)
+    zero1 = jnp.zeros_like(bodies.dangvel)
+    return bodies.replace(pos=pos, rot=rot, dvel=zero2, dangvel=zero1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step(state: State, cfg: SimConfig) -> State:
+    """One simulation frame.  jit-compiled per static cfg."""
+    bodies = integrate_velocities(state.bodies, cfg)
+
+    pairs = broadphase(bodies, cfg)
+    contacts = narrowphase(bodies, pairs, cfg)
+    contacts = warm_start_from_cache(contacts, pairs, state.cache)
+
+    body_static = (bodies.inv_mass == 0.0) & (bodies.inv_inertia == 0.0)
+    contacts = color_contacts(contacts, body_static, cfg)
+    contacts = solver.prepare(bodies, contacts, cfg)
+
+    bodies = solver.warm_start(bodies, contacts)
+    bodies, accum_n, accum_t, residual = solver.solve_velocity(
+        bodies, contacts, cfg)
+    bodies = solver.solve_position(bodies, contacts, cfg)
+    bodies = integrate_positions(bodies, cfg)
+
+    cache = build_cache(contacts, pairs, accum_n, accum_t)
+    stats = SolverStats(
+        num_pairs=pairs.num,
+        num_contacts=contacts.valid.sum(dtype=jnp.int32),
+        pair_overflow=pairs.overflow,
+        max_penetration=jnp.max(
+            jnp.where(contacts.valid, contacts.penetration, 0.0)),
+        residual=residual,
+    )
+    return State(bodies=bodies, cache=cache, stats=stats)
+
+
+def rollout(state: State, cfg: SimConfig, num_steps: int) -> State:
+    """num_steps frames under one jit via lax.scan (no per-step dispatch)."""
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "n"))
+    def _run(state, cfg, n):
+        def body(s, _):
+            return step(s, cfg), None
+        out, _ = jax.lax.scan(body, state, None, length=n)
+        return out
+
+    return _run(state, cfg, num_steps)

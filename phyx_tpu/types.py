@@ -21,6 +21,7 @@ def _pytree_dataclass(cls):
     cls = dataclasses.dataclass(frozen=True)(cls)
     fields = [f.name for f in dataclasses.fields(cls)]
     jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    cls.replace = lambda self, **kw: dataclasses.replace(self, **kw)
     return cls
 
 
