@@ -160,7 +160,30 @@ def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
     return _finish(pi, pj, valid, missed, cfg.max_pairs)
 
 
+def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
+    """Sweep & prune via the Pallas emission kernel (kernels/sweep.py):
+    true variable-length sweep like the reference's C++ loop, no candidate
+    grid, no giant sort — only the N-key argsort and a max_pairs lex sort."""
+    from phyx_tpu.kernels.sweep import sweep_emit
+
+    n = bodies.capacity
+    lo, hi = compute_aabbs(bodies)
+    keys = jnp.where(bodies.active, lo[:, 0], jnp.float32(jnp.inf))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, order = jax.lax.sort((keys, iota), num_keys=1)
+    nact = bodies.active.sum(dtype=jnp.int32)
+    aabb_flat = jnp.stack(
+        [lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1]], axis=1).reshape(-1)
+    dyn = (bodies.inv_mass > 0.0).astype(jnp.int32)
+
+    pi, pj, num, ovf = sweep_emit(aabb_flat, order, dyn, nact, cfg.max_pairs)
+    pi_s, pj_s = jax.lax.sort((pi, pj), num_keys=2)
+    return Pairs(pi=pi_s, pj=pj_s, valid=pi_s != EMPTY, num=num, overflow=ovf)
+
+
 def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
     if cfg.broadphase == "n2":
         return broadphase_n2(bodies, cfg)
+    if cfg.solver_backend == "pallas":
+        return broadphase_sap_kernel(bodies, cfg)
     return broadphase_sap(bodies, cfg)

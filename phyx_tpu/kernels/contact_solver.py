@@ -1,0 +1,244 @@
+"""Fused sequential-impulse contact solver kernel (the flagship).
+
+One ``pallas_call`` performs, entirely in SMEM with a serial scalar sweep:
+
+    warm start  ->  velocity ("impulses") iterations
+                ->  position ("displacement") iterations
+
+This is the TPU-native re-expression of the reference's hot loops
+(SURVEY.md §3.3 SolveJointsImpulsesSoA / SolveJointsDisplacementSoA).  The
+reference vectorizes by packing conflict-free joints into SIMD lanes; on
+TPU the measured optimum is the opposite: Mosaic pipelines a *serial*
+scalar sweep over SMEM at ~1 ns/op, which preserves the exact scalar
+Gauss-Seidel ordering of the oracle (oracle/engine.py step §6-7) — so
+per-iteration convergence parity with the reference algorithm is
+structural, not approximate (BASELINE.json:5).
+
+Memory layout (all flat 1D SMEM; 2D SMEM arrays pad the trailing dim):
+  body  (N*8,)  f32: [vx, vy, w, inv_m, inv_i, dvx, dvy, dw] per body
+  con   (C*12,) f32: [nx, ny, r1x, r1y, r2x, r2y, mass_n, mass_t,
+                      friction, dst_v, dst_dv, pad] per contact
+  warm  (C*2,)  f32: [warm_n, warm_t]
+  b1/b2 (C,)    i32
+  acc   (C*4,)  f32 out: [accum_n, accum_t, accum_d, pad]
+  res   (1,)    f32 out: max |impulse delta| of the LAST velocity iteration
+
+Invalid contact slots carry mass_n = mass_t = 0 and warm = 0, making them
+exact no-ops — no branches in the sweep.
+
+SMEM budget (1 MB total): fits C <= ~8k contacts, N <= ~4k bodies in this
+single-block version; the grid-blocked variant for 10k+ boxes streams
+contact blocks through SMEM while body state stays resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int):
+    """Build the kernel body with static iteration counts / capacities."""
+
+    def kern(num_ref, b1_ref, b2_ref, con_ref, warm_ref, body_in_ref,
+             body_ref, acc_ref, res_ref):
+        num = num_ref[0]
+
+        # -- copy body state into the writable SMEM output --
+        def cpy(i, _):
+            body_ref[i] = body_in_ref[i]
+            return 0
+        jax.lax.fori_loop(0, n_cap * 8, cpy, 0)
+
+        # -- init accumulators (all slots, incl. beyond num) --
+        def ini(k, _):
+            acc_ref[k] = 0.0
+            return 0
+        jax.lax.fori_loop(0, c_cap * 4, ini, 0)
+
+        # -- warm start: apply cached impulses (SURVEY.md §3.2) --
+        def warm(k, _):
+            base = k * 12
+            nx = con_ref[base]
+            ny = con_ref[base + 1]
+            wn = warm_ref[k * 2]
+            wt = warm_ref[k * 2 + 1]
+            # impulse = n*wn + perp(n)*wt,  perp(n) = (-ny, nx)
+            px = nx * wn - ny * wt
+            py = ny * wn + nx * wt
+            r1x = con_ref[base + 2]
+            r1y = con_ref[base + 3]
+            r2x = con_ref[base + 4]
+            r2y = con_ref[base + 5]
+            i = b1_ref[k] * 8
+            j = b2_ref[k] * 8
+            im1 = body_ref[i + 3]
+            ii1 = body_ref[i + 4]
+            im2 = body_ref[j + 3]
+            ii2 = body_ref[j + 4]
+            body_ref[i] = body_ref[i] - px * im1
+            body_ref[i + 1] = body_ref[i + 1] - py * im1
+            body_ref[i + 2] = body_ref[i + 2] - ii1 * (r1x * py - r1y * px)
+            body_ref[j] = body_ref[j] + px * im2
+            body_ref[j + 1] = body_ref[j + 1] + py * im2
+            body_ref[j + 2] = body_ref[j + 2] + ii2 * (r2x * py - r2y * px)
+            acc_ref[k * 4] = wn
+            acc_ref[k * 4 + 1] = wt
+            return 0
+        jax.lax.fori_loop(0, num, warm, 0)
+
+        # -- velocity iterations (hot loop #1) --
+        def vel_iter(_, carry):
+            def one(k, res):
+                base = k * 12
+                nx = con_ref[base]
+                ny = con_ref[base + 1]
+                r1x = con_ref[base + 2]
+                r1y = con_ref[base + 3]
+                r2x = con_ref[base + 4]
+                r2y = con_ref[base + 5]
+                mn = con_ref[base + 6]
+                mt = con_ref[base + 7]
+                fr = con_ref[base + 8]
+                dstv = con_ref[base + 9]
+                i = b1_ref[k] * 8
+                j = b2_ref[k] * 8
+                im1 = body_ref[i + 3]
+                ii1 = body_ref[i + 4]
+                im2 = body_ref[j + 3]
+                ii2 = body_ref[j + 4]
+                vx1 = body_ref[i]
+                vy1 = body_ref[i + 1]
+                w1 = body_ref[i + 2]
+                vx2 = body_ref[j]
+                vy2 = body_ref[j + 1]
+                w2 = body_ref[j + 2]
+                # normal limiter
+                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                vn = nx * dvx + ny * dvy
+                d = (dstv - vn) * mn
+                a = acc_ref[k * 4]
+                na = jnp.maximum(a + d, 0.0)
+                d = na - a
+                acc_ref[k * 4] = na
+                px = nx * d
+                py = ny * d
+                vx1 -= px * im1
+                vy1 -= py * im1
+                w1 -= ii1 * (r1x * py - r1y * px)
+                vx2 += px * im2
+                vy2 += py * im2
+                w2 += ii2 * (r2x * py - r2y * px)
+                res = jnp.maximum(res, jnp.abs(d))
+                # friction limiter, tangent t = (-ny, nx)
+                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                vt = -ny * dvx + nx * dvy
+                d = -vt * mt
+                a = acc_ref[k * 4 + 1]
+                mf = fr * na
+                ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
+                d = ta - a
+                acc_ref[k * 4 + 1] = ta
+                px = -ny * d
+                py = nx * d
+                body_ref[i] = vx1 - px * im1
+                body_ref[i + 1] = vy1 - py * im1
+                body_ref[i + 2] = w1 - ii1 * (r1x * py - r1y * px)
+                body_ref[j] = vx2 + px * im2
+                body_ref[j + 1] = vy2 + py * im2
+                body_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
+                return jnp.maximum(res, jnp.abs(d))
+
+            res = jax.lax.fori_loop(0, num, one, jnp.float32(0.0))
+            res_ref[0] = res   # overwritten each iter -> last iter's value
+            return carry
+        jax.lax.fori_loop(0, vel_iters, vel_iter, 0)
+
+        # -- position (displacement) iterations on pseudo-velocities --
+        def pos_iter(_, carry):
+            def one(k, _c):
+                base = k * 12
+                nx = con_ref[base]
+                ny = con_ref[base + 1]
+                r1x = con_ref[base + 2]
+                r1y = con_ref[base + 3]
+                r2x = con_ref[base + 4]
+                r2y = con_ref[base + 5]
+                mn = con_ref[base + 6]
+                ddv = con_ref[base + 10]
+                i = b1_ref[k] * 8
+                j = b2_ref[k] * 8
+                im1 = body_ref[i + 3]
+                ii1 = body_ref[i + 4]
+                im2 = body_ref[j + 3]
+                ii2 = body_ref[j + 4]
+                px1 = body_ref[i + 5]
+                py1 = body_ref[i + 6]
+                q1 = body_ref[i + 7]
+                px2 = body_ref[j + 5]
+                py2 = body_ref[j + 6]
+                q2 = body_ref[j + 7]
+                dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                vn = nx * dvx + ny * dvy
+                d = (ddv - vn) * mn
+                a = acc_ref[k * 4 + 2]
+                na = jnp.maximum(a + d, 0.0)
+                d = na - a
+                acc_ref[k * 4 + 2] = na
+                ix = nx * d
+                iy = ny * d
+                body_ref[i + 5] = px1 - ix * im1
+                body_ref[i + 6] = py1 - iy * im1
+                body_ref[i + 7] = q1 - ii1 * (r1x * iy - r1y * ix)
+                body_ref[j + 5] = px2 + ix * im2
+                body_ref[j + 6] = py2 + iy * im2
+                body_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
+                return 0
+            jax.lax.fori_loop(0, num, one, 0)
+            return carry
+        jax.lax.fori_loop(0, pos_iters, pos_iter, 0)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters"))
+def solve_contacts_fused(
+    body_flat: jax.Array,    # (N*8,) f32
+    b1: jax.Array,           # (C,) int32
+    b2: jax.Array,           # (C,) int32
+    con_flat: jax.Array,     # (C*12,) f32
+    warm_flat: jax.Array,    # (C*2,) f32
+    num_contacts: jax.Array,  # () int32
+    vel_iters: int,
+    pos_iters: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (body_flat', acc (C*4,), residual (1,))."""
+    n_cap = body_flat.shape[0] // 8
+    c_cap = b1.shape[0]
+    kern = _solver_kernel(vel_iters, pos_iters, c_cap, n_cap)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    body_out, acc, res = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cap * 8,), jnp.float32),
+            jax.ShapeDtypeStruct((c_cap * 4,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
+        in_specs=[smem] * 6,
+        out_specs=(smem, smem, smem),
+        interpret=_use_interpret(),
+    )(jnp.reshape(num_contacts.astype(jnp.int32), (1,)),
+      b1, b2, con_flat, warm_flat, body_flat)
+    return body_out, acc, res

@@ -69,14 +69,21 @@ def _sel(cond, a, b):
 
 def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
     """Batched SAT + clip over the pair buffer -> flat Contacts."""
+    from phyx_tpu.rows import take_rows
+
     n = bodies.capacity
     i = jnp.minimum(pairs.pi, n - 1)     # clamp EMPTY slots; masked below
     j = jnp.minimum(pairs.pj, n - 1)
     pvalid = pairs.valid
 
-    pa, pb = bodies.pos[i], bodies.pos[j]
-    ra, rb = bodies.rot[i], bodies.rot[j]
-    ha, hb = bodies.half_extent[i], bodies.half_extent[j]
+    # one packed geometry gather per side (serial-gather-free on TPU)
+    geom = jnp.concatenate(
+        [bodies.pos, bodies.rot, bodies.half_extent], axis=1)   # (N, 6)
+    use_pallas = cfg.solver_backend == "pallas"
+    ga = take_rows(geom, i, use_pallas)
+    gb = take_rows(geom, j, use_pallas)
+    pa, ra, ha = ga[:, 0:2], ga[:, 2:4], ga[:, 4:6]
+    pb, rb, hb = gb[:, 0:2], gb[:, 2:4], gb[:, 4:6]
 
     d = pb - pa
     da = m2.rot_inv_apply(ra, d)           # B center in A frame
@@ -196,8 +203,8 @@ def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
     c_b1 = ilv(i, i)
     c_b2 = ilv(j, j)
     c_normal = ilv(normal, normal)
-    c_r1 = c_world - bodies.pos[c_b1]
-    c_r2 = c_world - bodies.pos[c_b2]
+    c_r1 = c_world - ilv(pa, pa)    # pa/pb already gathered per pair
+    c_r2 = c_world - ilv(pb, pb)
 
     C = c_valid.shape[0]
     zf = jnp.zeros((C,), jnp.float32)

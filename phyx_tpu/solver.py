@@ -34,12 +34,27 @@ from phyx_tpu.types import Bodies
 
 def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig) -> Contacts:
     """Batched PrepareJoints (SURVEY.md §3.4)."""
+    from phyx_tpu.rows import take_rows
+
     b1, b2 = contacts.b1, contacts.b2
     n = contacts.normal
     t = m2.perp(n)
     r1, r2 = contacts.r1, contacts.r2
-    im1, im2 = bodies.inv_mass[b1], bodies.inv_mass[b2]
-    ii1, ii2 = bodies.inv_inertia[b1], bodies.inv_inertia[b2]
+    # one packed property gather per side (serial-gather-free on TPU)
+    props = jnp.concatenate([
+        bodies.vel,                      # 0:2
+        bodies.angvel[:, None],          # 2
+        bodies.inv_mass[:, None],        # 3
+        bodies.inv_inertia[:, None],     # 4
+        bodies.friction[:, None],        # 5
+        bodies.restitution[:, None],     # 6
+        jnp.zeros_like(bodies.angvel[:, None]),
+    ], axis=1)                           # (N, 8)
+    use_pallas = cfg.solver_backend == "pallas"
+    p1 = take_rows(props, b1, use_pallas)
+    p2 = take_rows(props, b2, use_pallas)
+    im1, im2 = p1[:, 3], p2[:, 3]
+    ii1, ii2 = p1[:, 4], p2[:, 4]
 
     rn1, rn2 = m2.cross(r1, n), m2.cross(r2, n)
     kn = im1 + im2 + ii1 * rn1 * rn1 + ii2 * rn2 * rn2
@@ -49,12 +64,12 @@ def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig) -> Contacts:
     kt = im1 + im2 + ii1 * rt1 * rt1 + ii2 * rt2 * rt2
     mass_t = jnp.where(kt > 0.0, 1.0 / jnp.maximum(kt, 1e-30), 0.0)
 
-    friction = jnp.sqrt(bodies.friction[b1] * bodies.friction[b2])
+    friction = jnp.sqrt(p1[:, 5] * p2[:, 5])
 
-    pv1 = bodies.vel[b1] + m2.cross_sv(bodies.angvel[b1], r1)
-    pv2 = bodies.vel[b2] + m2.cross_sv(bodies.angvel[b2], r2)
+    pv1 = p1[:, 0:2] + m2.cross_sv(p1[:, 2], r1)
+    pv2 = p2[:, 0:2] + m2.cross_sv(p2[:, 2], r2)
     vn0 = m2.dot(n, pv2 - pv1)
-    e = jnp.maximum(bodies.restitution[b1], bodies.restitution[b2])
+    e = jnp.maximum(p1[:, 6], p2[:, 6])
     dst_v = jnp.where(vn0 < -cfg.restitution_threshold, -e * vn0, 0.0)
 
     dst_dv = jnp.minimum(
@@ -151,6 +166,50 @@ def solve_velocity(bodies: Bodies, contacts: Contacts, cfg: SimConfig
     vel, angvel, an, at, res = jax.lax.fori_loop(
         0, cfg.velocity_iterations, iteration, init)
     return bodies.replace(vel=vel, angvel=angvel), an, at, res
+
+
+def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
+                 cfg: SimConfig
+                 ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array]:
+    """Fused warm-start + velocity + position solve via the Pallas kernel
+    (kernels/contact_solver.py).  Exact sequential Gauss-Seidel order —
+    no coloring needed; returns (bodies', accum_n, accum_t, residual)."""
+    from phyx_tpu.kernels.contact_solver import solve_contacts_fused
+
+    n = bodies.capacity
+    c = contacts.valid.shape[0]
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    body_flat = jnp.concatenate([
+        bodies.vel,
+        bodies.angvel[:, None],
+        bodies.inv_mass[:, None],
+        bodies.inv_inertia[:, None],
+        zeros3,
+    ], axis=1).reshape(-1)
+    con_flat = jnp.stack([
+        contacts.normal[:, 0], contacts.normal[:, 1],
+        contacts.r1[:, 0], contacts.r1[:, 1],
+        contacts.r2[:, 0], contacts.r2[:, 1],
+        contacts.mass_n, contacts.mass_t, contacts.friction,
+        contacts.dst_v, contacts.dst_dv,
+        jnp.zeros((c,), jnp.float32),
+    ], axis=1).reshape(-1)
+    warm_flat = jnp.stack([contacts.warm_n, contacts.warm_t],
+                          axis=1).reshape(-1)
+
+    body_out, acc, res = solve_contacts_fused(
+        body_flat, contacts.b1, contacts.b2, con_flat, warm_flat,
+        num_contacts, cfg.velocity_iterations, cfg.position_iterations)
+
+    body_out = body_out.reshape(n, 8)
+    acc = acc.reshape(c, 4)
+    bodies = bodies.replace(
+        vel=body_out[:, 0:2],
+        angvel=body_out[:, 2],
+        dvel=body_out[:, 5:7],
+        dangvel=body_out[:, 7],
+    )
+    return bodies, acc[:, 0], acc[:, 1], res[0]
 
 
 def solve_position(bodies: Bodies, contacts: Contacts, cfg: SimConfig

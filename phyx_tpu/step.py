@@ -63,14 +63,19 @@ def step(state: State, cfg: SimConfig) -> State:
     contacts = narrowphase(bodies, pairs, cfg)
     contacts = warm_start_from_cache(contacts, pairs, state.cache)
 
-    body_static = (bodies.inv_mass == 0.0) & (bodies.inv_inertia == 0.0)
-    contacts = color_contacts(contacts, body_static, cfg)
     contacts = solver.prepare(bodies, contacts, cfg)
 
-    bodies = solver.warm_start(bodies, contacts)
-    bodies, accum_n, accum_t, residual = solver.solve_velocity(
-        bodies, contacts, cfg)
-    bodies = solver.solve_position(bodies, contacts, cfg)
+    if cfg.solver_backend == "pallas":
+        # fused kernel: exact serial Gauss-Seidel order, no coloring needed
+        bodies, accum_n, accum_t, residual = solver.solve_pallas(
+            bodies, contacts, 2 * pairs.num, cfg)
+    else:
+        body_static = (bodies.inv_mass == 0.0) & (bodies.inv_inertia == 0.0)
+        contacts = color_contacts(contacts, body_static, cfg)
+        bodies = solver.warm_start(bodies, contacts)
+        bodies, accum_n, accum_t, residual = solver.solve_velocity(
+            bodies, contacts, cfg)
+        bodies = solver.solve_position(bodies, contacts, cfg)
     bodies = integrate_positions(bodies, cfg)
 
     cache = build_cache(contacts, pairs, accum_n, accum_t)

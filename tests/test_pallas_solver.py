@@ -1,0 +1,68 @@
+"""Pallas fused solver (interpret mode on CPU) vs oracle and XLA backend.
+
+The kernel's serial sweep order equals the oracle's natural joint order
+(contacts sorted by pair lex, two point-slots per pair, invalid slots as
+no-ops), so trajectory parity with the oracle is tight — the strongest
+correctness statement available (SURVEY.md §4.4 convergence parity).
+"""
+
+import numpy as np
+
+from phyx_tpu import scenes
+from phyx_tpu.config import SimConfig
+from phyx_tpu.step import step
+from phyx_tpu.world import SceneBuilder
+
+CFG = SimConfig(max_bodies=32, max_pairs=128, broadphase="n2",
+                solver_backend="pallas")
+
+
+def test_pallas_matches_oracle_two_boxes():
+    sb = SceneBuilder(CFG)
+    sb.add_box((0.0, -10.0), (100.0, 10.0), static=True, friction=0.5)
+    sb.add_box((0.0, 1.2), (0.5, 0.5), friction=0.5, velocity=(2.0, 0.0))
+    st = sb.build()
+    ow = sb.to_oracle()
+    for frame in range(60):
+        st = step(st, CFG)
+        ow.step()
+        np.testing.assert_allclose(
+            np.asarray(st.bodies.pos[1]), np.asarray(ow.pos[1]),
+            atol=2e-3, err_msg=f"frame {frame}")
+
+
+def test_pallas_matches_oracle_stack():
+    """Multi-contact: same sweep order as the oracle -> tight parity."""
+    sb = scenes.stack(CFG, 4)
+    st = sb.build()
+    ow = sb.to_oracle()
+    for _ in range(80):
+        st = step(st, CFG)
+        ow.step()
+    np.testing.assert_allclose(
+        np.asarray(st.bodies.pos[1:5]), np.asarray(ow.pos)[1:5], atol=5e-3)
+
+
+def test_pallas_residual_parity_vs_oracle_order():
+    """Residual of the last velocity iteration should be small once a
+    stack has settled (warm starting carries the solution)."""
+    sb = scenes.stack(CFG, 5)
+    st = sb.build()
+    for _ in range(120):
+        st = step(st, CFG)
+    assert float(st.stats.residual) < 1e-3
+    assert float(st.stats.max_penetration) < 0.05
+
+
+def test_pallas_vs_xla_backend_agree():
+    """Different sweep orders (serial vs colored) converge to the same
+    contact solution -> settled states agree loosely."""
+    cfg_x = CFG.replace(solver_backend="xla")
+    sb = scenes.pile(CFG, 12, seed=4)
+    st_p = sb.build()
+    st_x = sb.build()
+    for _ in range(100):
+        st_p = step(st_p, CFG)
+        st_x = step(st_x, cfg_x)
+    np.testing.assert_allclose(np.asarray(st_p.bodies.pos),
+                               np.asarray(st_x.bodies.pos), atol=3e-2)
