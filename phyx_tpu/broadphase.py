@@ -108,55 +108,88 @@ def broadphase_n2(bodies: Bodies, cfg: SimConfig) -> Pairs:
 def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
     """Sorted sweep & prune with a fixed forward window (SURVEY.md §2 C3).
 
-    Inactive bodies are parked at huge distinct x (types.py ``_parked``) so
-    they sort to the end and never overlap anything.
+    The reference's sweep scans forward until the x-interval closes —
+    unbounded trip count.  The windowed form bounds it, which breaks for
+    *long* bodies (ground planes, slopes) whose interval stays open across
+    the whole axis: they would only ever pair with their first ``w`` sorted
+    neighbors.  Fix: the ``sap_long_k`` bodies with the largest x-extent are
+    pulled out of the sweep and tested densely against everything (K*N
+    AABB tests — exact and cheap for K<=16).  The window-truncation counter
+    then only fires for genuinely over-dense regular neighborhoods.
     """
     n = bodies.capacity
     w = min(cfg.sap_window, n - 1)
+    k_long = min(cfg.sap_long_k, n)
     lo, hi = compute_aabbs(bodies)
     dynamic = bodies.inv_mass > 0.0
 
-    # Sort bodies by AABB min-x.  Keys for inactive bodies are already huge.
-    order = jnp.argsort(lo[:, 0]).astype(jnp.int32)
+    # --- long-object lane: top-K by x-extent, dense vs all ---
+    extent_x = jnp.where(bodies.active, hi[:, 0] - lo[:, 0], -jnp.inf)
+    _, long_idx = jax.lax.top_k(extent_x, k_long)          # (K,)
+    long_idx = long_idx.astype(jnp.int32)
+    is_long = jnp.zeros((n,), bool).at[long_idx].set(True) & bodies.active
+    # rank of each body inside the long set (-1 if not long) for dedupe
+    long_rank = jnp.full((n,), -1, jnp.int32).at[long_idx].set(
+        jnp.arange(k_long, dtype=jnp.int32))
+
+    jdx = jnp.arange(n, dtype=jnp.int32)
+    l_lo, l_hi = lo[long_idx], hi[long_idx]                # (K, 2)
+    l_act = bodies.active[long_idx] & is_long[long_idx]
+    l_dyn = dynamic[long_idx]
+    dox = (l_lo[:, None, 0] <= hi[None, :, 0]) & (lo[None, :, 0] <= l_hi[:, None, 0])
+    doy = (l_lo[:, None, 1] <= hi[None, :, 1]) & (lo[None, :, 1] <= l_hi[:, None, 1])
+    dact = l_act[:, None] & bodies.active[None, :]
+    ddyn = l_dyn[:, None] | dynamic[None, :]
+    notself = long_idx[:, None] != jdx[None, :]
+    # long-long pairs counted once: keep only when j's rank exceeds ours
+    dedupe = (~is_long[None, :]) | (
+        long_rank[None, :] > jnp.arange(k_long, dtype=jnp.int32)[:, None])
+    d_valid = dox & doy & dact & ddyn & notself & dedupe
+    d_pi = jnp.minimum(long_idx[:, None], jdx[None, :])
+    d_pj = jnp.maximum(long_idx[:, None], jdx[None, :])
+
+    # --- windowed sweep over the remaining (regular) bodies ---
+    sweep_act = bodies.active & ~is_long
+    keys = jnp.where(sweep_act, lo[:, 0], jnp.float32(jnp.inf))
+    order = jnp.argsort(keys).astype(jnp.int32)
     slo = lo[order]
     shi = hi[order]
-    sact = bodies.active[order]
+    sact = sweep_act[order]
     sdyn = dynamic[order]
 
-    # Sweep: body at sorted position k against sorted positions k+1..k+w.
-    # shift arrays by d; out-of-range neighbors masked off.
-    def neighbor(d):
-        j_lo = jnp.roll(slo, -d, axis=0)
-        j_hi = jnp.roll(shi, -d, axis=0)
-        j_act = jnp.roll(sact, -d)
-        j_dyn = jnp.roll(sdyn, -d)
-        j_ord = jnp.roll(order, -d)
-        k = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-        in_range = k + d < n
-        x_open = j_lo[:, 0] <= shi[:, 0]            # sweep condition
-        y_overlap = (j_lo[:, 1] <= shi[:, 1]) & (slo[:, 1] <= j_hi[:, 1])
-        ok = in_range & x_open & y_overlap & sact & j_act & (sdyn | j_dyn)
-        a = jnp.minimum(order, j_ord)
-        b = jnp.maximum(order, j_ord)
-        return a, b, ok, in_range & x_open
+    # Sweep: body at sorted position k against sorted positions k+1..k+w+1,
+    # as ONE batched gather over a (w+1, n) neighbor grid (a Python loop of
+    # w rolls would inflate the HLO ~w-fold and blow up compile time).
+    kk = jax.lax.broadcasted_iota(jnp.int32, (w + 1, n), 1)
+    dd = jax.lax.broadcasted_iota(jnp.int32, (w + 1, n), 0) + 1
+    jpos = kk + dd                               # sorted index of neighbor
+    in_range = jpos < n
+    jc = jnp.minimum(jpos, n - 1)
 
-    aa, bb, vv, opens = [], [], [], []
-    for d in range(1, w + 1):
-        a, b, ok, open_ = neighbor(d)
-        aa.append(a)
-        bb.append(b)
-        vv.append(ok)
-        opens.append(open_)
+    j_lo = slo[jc]                               # (w+1, n, 2)
+    j_hi = shi[jc]
+    j_act = sact[jc]
+    j_dyn = sdyn[jc]
+    j_ord = order[jc]
 
-    pi = jnp.stack(aa)      # (w, n)
-    pj = jnp.stack(bb)
-    valid = jnp.stack(vv)
+    x_open = j_lo[..., 0] <= shi[None, :, 0]     # sweep condition
+    y_overlap = (j_lo[..., 1] <= shi[None, :, 1]) & \
+                (slo[None, :, 1] <= j_hi[..., 1])
+    ok = (in_range & x_open & y_overlap & sact[None, :] & j_act
+          & (sdyn[None, :] | j_dyn))
+    pi = jnp.minimum(order[None, :], j_ord)[:w]  # (w, n)
+    pj = jnp.maximum(order[None, :], j_ord)[:w]
+    valid = ok[:w]
 
-    # Window truncation: if the farthest neighbor's x-interval still opens
+    # Window truncation: if the (w+1)-th neighbor's x-interval still opens
     # before ours closes, pairs beyond the window may have been missed.
-    _, _, _, open_last = neighbor(w + 1) if w + 1 < n else (0, 0, 0, jnp.zeros(n, bool))
-    missed = open_last.sum(dtype=jnp.int32) if w + 1 < n else jnp.int32(0)
+    open_last = in_range[w] & x_open[w] & sact & j_act[w]
+    missed = open_last.sum(dtype=jnp.int32)
 
+    # merge sweep-lane and long-object-lane candidates
+    pi = jnp.concatenate([pi.reshape(-1), d_pi.reshape(-1)])
+    pj = jnp.concatenate([pj.reshape(-1), d_pj.reshape(-1)])
+    valid = jnp.concatenate([valid.reshape(-1), d_valid.reshape(-1)])
     return _finish(pi, pj, valid, missed, cfg.max_pairs)
 
 
@@ -181,9 +214,17 @@ def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
     return Pairs(pi=pi_s, pj=pj_s, valid=pi_s != EMPTY, num=num, overflow=ovf)
 
 
+def _sweep_kernel_smem_bytes(n: int, max_pairs: int) -> int:
+    """SMEM of sweep_emit: aabb (N*4 f32), order/dyn (N i32 each), nact,
+    pi/pj (max_pairs i32 each) + counters."""
+    return 4 * (6 * n + 2 * max_pairs + 8)
+
+
 def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
     if cfg.broadphase == "n2":
         return broadphase_n2(bodies, cfg)
-    if cfg.solver_backend == "pallas":
+    if (cfg.solver_backend == "pallas"
+            and _sweep_kernel_smem_bytes(bodies.capacity, cfg.max_pairs)
+            <= 900 * 1024):
         return broadphase_sap_kernel(bodies, cfg)
     return broadphase_sap(bodies, cfg)

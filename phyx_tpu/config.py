@@ -54,6 +54,11 @@ class SimConfig:
     # "sap" : sort by min-x + fixed forward window (TPU-shaped sweep&prune)
     broadphase: str = "sap"
     sap_window: int = 16            # forward neighbors examined per body
+    # Bodies with the top-K largest x-extent (ground planes, slopes) are
+    # excluded from the windowed sweep and tested densely vs all bodies:
+    # a long body's x-interval stays open across the whole sweep, which a
+    # fixed window cannot cover (classic SAP long-object failure).
+    sap_long_k: int = 8
 
     # --- solver scheduling ---
     # Number of Gauss-Seidel color classes.  phyx packs joints into

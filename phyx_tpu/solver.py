@@ -168,6 +168,18 @@ def solve_velocity(bodies: Bodies, contacts: Contacts, cfg: SimConfig
     return bodies.replace(vel=vel, angvel=angvel), an, at, res
 
 
+def pallas_smem_bytes(n_bodies_cap: int, n_contact_cap: int) -> int:
+    """SMEM footprint of the fused solver kernel (kernels/contact_solver.py):
+    body in+out (2*N*8 f32), con (C*12), warm (C*2), acc (C*4), b1/b2 (C*2
+    i32).  Must stay under the ~1MB SMEM budget or Mosaic refuses to
+    compile; step.py uses this to pick a backend that fits."""
+    return 4 * (2 * n_bodies_cap * 8
+                + n_contact_cap * (12 + 2 + 4 + 2))
+
+
+PALLAS_SMEM_BUDGET = 900 * 1024   # leave headroom under the 1MB space
+
+
 def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
                  cfg: SimConfig
                  ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array]:

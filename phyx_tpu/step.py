@@ -65,7 +65,16 @@ def step(state: State, cfg: SimConfig) -> State:
 
     contacts = solver.prepare(bodies, contacts, cfg)
 
-    if cfg.solver_backend == "pallas":
+    use_pallas = cfg.solver_backend == "pallas"
+    if use_pallas and solver.pallas_smem_bytes(
+            bodies.capacity, contacts.valid.shape[0]
+    ) > solver.PALLAS_SMEM_BUDGET:
+        # Fused kernel would exceed SMEM at these capacities; fall back to
+        # the colored XLA sweeps (correct, slower) until the grid-blocked
+        # kernel variant lands.
+        use_pallas = False
+
+    if use_pallas:
         # fused kernel: exact serial Gauss-Seidel order, no coloring needed
         bodies, accum_n, accum_t, residual = solver.solve_pallas(
             bodies, contacts, 2 * pairs.num, cfg)

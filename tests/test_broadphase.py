@@ -88,3 +88,59 @@ def test_inactive_bodies_never_pair():
     pairs = broadphase_sap(bodies, cfg)
     for (i, j) in got_pairs(pairs):
         assert i < 10 and j < 10
+
+
+def test_sap_long_object_beyond_window():
+    """A ground plane spanning the whole axis must pair with EVERY box
+    sitting on it even when the box count far exceeds sap_window
+    (classic SAP long-object failure; fixed by the dense long-object
+    lane).  Regression for boxes falling through the ground at N >> w."""
+    cap = 128
+    b = Bodies.zeros(cap)
+    n_boxes = 100
+    xs = np.linspace(-200.0, 200.0, n_boxes).astype(np.float32)
+    pos = np.stack([xs, np.full(n_boxes, 0.4, np.float32)], axis=-1)
+    b = b.replace(
+        pos=b.pos.at[:n_boxes].set(pos),
+        rot=b.rot.at[:n_boxes].set(
+            np.tile(np.array([1.0, 0.0], np.float32), (n_boxes, 1))),
+        half_extent=b.half_extent.at[:n_boxes].set(0.5),
+        inv_mass=b.inv_mass.at[:n_boxes].set(1.0),
+        inv_inertia=b.inv_inertia.at[:n_boxes].set(1.0),
+        active=b.active.at[:n_boxes].set(True))
+    # ground: huge static box whose top is y = 0
+    g = n_boxes
+    b = b.replace(
+        pos=b.pos.at[g].set((0.0, -10.0)),
+        rot=b.rot.at[g].set((1.0, 0.0)),
+        half_extent=b.half_extent.at[g].set((1e4, 10.0)),
+        active=b.active.at[g].set(True))
+
+    cfg = SimConfig(max_bodies=cap, max_pairs=4096, sap_window=8)
+    pairs = got_pairs(broadphase_sap(b, cfg))
+    for i in range(n_boxes):
+        assert (i, g) in pairs, f"box {i} lost its ground contact"
+    assert pairs == brute_pairs(b, n_boxes + 1)
+
+
+def test_sap_many_long_objects_exact():
+    """Several long bodies (> sap_long_k would be unsound; == is fine) mixed
+    with regular ones: SAP must equal brute force, incl. long-long pairs."""
+    rng = np.random.default_rng(7)
+    cap = 64
+    b = Bodies.zeros(cap)
+    n_real = 40
+    pos = rng.uniform(-30, 30, (n_real, 2)).astype(np.float32)
+    h = rng.uniform(0.3, 1.0, (n_real, 2)).astype(np.float32)
+    h[:6, 0] = rng.uniform(50.0, 90.0, 6)  # six long bodies
+    b = b.replace(
+        pos=b.pos.at[:n_real].set(pos),
+        rot=b.rot.at[:n_real].set(
+            np.tile(np.array([1.0, 0.0], np.float32), (n_real, 1))),
+        half_extent=b.half_extent.at[:n_real].set(h),
+        inv_mass=b.inv_mass.at[:n_real].set(1.0),
+        inv_inertia=b.inv_inertia.at[:n_real].set(1.0),
+        active=b.active.at[:n_real].set(True))
+    cfg = SimConfig(max_bodies=cap, max_pairs=4096, sap_window=48,
+                    sap_long_k=8)
+    assert got_pairs(broadphase_sap(b, cfg)) == brute_pairs(b, n_real)
