@@ -44,7 +44,9 @@ def build(scene: str, boxes: int, backend: str):
         max_bodies=cap,
         # Settled piles hold ~2.6 pairs/box (measured); 4x is safe headroom
         # while keeping the contact buffers lean enough for SMEM residency.
-        max_pairs=max(1024, boxes * 4),
+        # Rounded to 512 so contact slots hit the streamed kernel's
+        # 1024-slot DMA granularity.
+        max_pairs=max(1024, (boxes * 4 + 511) // 512 * 512),
         broadphase="sap",
         sap_window=96,
         num_colors=24,
@@ -58,16 +60,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--boxes", type=int, default=10000)
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--settle", type=int, default=300,
+                    help="pre-measurement frames so the pile reaches its "
+                         "settled, contact-rich state")
     ap.add_argument("--scene", default="pile", choices=["pile", "avalanche"])
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     cfg, st = build(args.scene, args.boxes, args.backend)
 
-    # Compile + warmup in one call, reusing the SAME scan length as the
-    # measured run (one compilation total).  Warmup also lets the pile form
-    # its contact network so the measured window sees a realistic graph.
-    st = rollout(st, cfg, args.steps)
+    # Compile once (scan length == --steps), then reuse the same compiled
+    # rollout to settle the pile so the measured window sees the full
+    # contact network, not free fall.
+    for _ in range(max(1, -(-args.settle // args.steps))):
+        st = rollout(st, cfg, args.steps)
     jax.block_until_ready(st)
 
     t0 = time.perf_counter()

@@ -1,0 +1,376 @@
+"""Streamed fused contact solver: contacts beyond SMEM capacity.
+
+Same algorithm as kernels/contact_solver.py (warm start -> velocity
+iterations -> position iterations, exact serial Gauss-Seidel order matching
+the oracle), but contact data lives in HBM and is streamed through SMEM in
+1024-slot blocks with double-buffered DMAs, while body state stays
+SMEM-resident for the whole solve.  This is the TPU-native analog of the
+reference's SolveJoints* loops walking SoA joint arrays that exceed cache
+(SURVEY.md §3.3): the working set is the body state; joints stream.
+
+Capacity envelope (SMEM ~1MB):
+  bodies:   N*8*4 bytes resident (aliased in/out)  -> N <= ~20k
+  contacts: unlimited (HBM), streamed; SMEM cost is
+            2 buffer sets * BLK*(12+2+3)*4 f32 + 2*BLK*2*4 i32 = ~152KB.
+
+Accumulated impulses are read-modify-written back to HBM once per block
+visit per pass so the next pass (and the final cache rebuild) sees them.
+
+Constraints honored for Mosaic:
+  * 1D HBM arrays are DMA-sliced only at 1024-element granularity
+    (hardware tile), so per-contact arrays are padded to BLK multiples.
+  * Scratch buffers and semaphores are never indexed by a traced value:
+    the double buffering is unrolled — each loop iteration executes TWO
+    global (pass, block) steps with statically chosen buffer sets A/B.
+
+Hazard discipline: the acc write-out issued at global step g is waited at
+step g+1 before that scratch set is refilled; with n_blocks >= 2 the
+previous pass's write to a block lands before that block's next read is
+issued.  Callers must guarantee n_blocks >= 2 (solver.py routes smaller
+problems to the all-SMEM kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 1024  # contact slots per streamed block; 1024 = f32/i32 1D DMA tile
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
+                     n_cap: int):
+    """Pass p: 0 = warm start, 1..vel_iters = velocity, rest = position."""
+
+    n_passes = 1 + vel_iters + pos_iters
+    total = n_passes * n_blocks
+
+    def kern(num_ref,                     # (1,) i32 SMEM
+             b1_hbm, b2_hbm, con_hbm, warm_hbm,   # ANY (HBM)
+             body_io_hbm,                 # (N*8,) f32 ANY (aliased input)
+             body_hbm,                    # out (N*8,) f32 ANY == body_io_hbm
+             acc_hbm,                     # out ANY (C*3,) f32
+             res_ref,                     # out (1,) f32 SMEM
+             body_ref, body_sem,          # SMEM body working set + its DMA sem
+             b1_a, b2_a, con_a, warm_a, acc_a, sem_a, osem_a,
+             b1_b, b2_b, con_b, warm_b, acc_b, sem_b, osem_b):
+        del body_io_hbm  # aliased with body_hbm; all HBM access via body_hbm
+        num = num_ref[0]
+        res_ref[0] = 0.0
+
+        # Body state: one whole-array DMA into SMEM (stays resident for the
+        # entire solve), written back after the last pass.
+        body_in_cp = pltpu.make_async_copy(body_hbm, body_ref, body_sem)
+        body_in_cp.start()
+        body_in_cp.wait()
+
+        set_a = (b1_a, b2_a, con_a, warm_a, acc_a, sem_a, osem_a)
+        set_b = (b1_b, b2_b, con_b, warm_b, acc_b, sem_b, osem_b)
+
+        def in_copies(bufs, b):
+            b1_s, b2_s, con_s, warm_s, acc_s, sem, _ = bufs
+            off = pl.multiple_of(b * BLK, BLK)
+            off12 = pl.multiple_of(b * (BLK * 12), BLK)
+            off2 = pl.multiple_of(b * (BLK * 2), BLK)
+            off3 = pl.multiple_of(b * (BLK * 3), BLK)
+            return (
+                pltpu.make_async_copy(b1_hbm.at[pl.ds(off, BLK)],
+                                      b1_s, sem.at[0]),
+                pltpu.make_async_copy(b2_hbm.at[pl.ds(off, BLK)],
+                                      b2_s, sem.at[1]),
+                pltpu.make_async_copy(con_hbm.at[pl.ds(off12, BLK * 12)],
+                                      con_s, sem.at[2]),
+                pltpu.make_async_copy(warm_hbm.at[pl.ds(off2, BLK * 2)],
+                                      warm_s, sem.at[3]),
+                pltpu.make_async_copy(acc_hbm.at[pl.ds(off3, BLK * 3)],
+                                      acc_s, sem.at[4]),
+            )
+
+        def acc_out_copy(bufs, b):
+            acc_s = bufs[4]
+            osem = bufs[6]
+            off3 = pl.multiple_of(b * (BLK * 3), BLK)
+            return pltpu.make_async_copy(
+                acc_s, acc_hbm.at[pl.ds(off3, BLK * 3)], osem)
+
+        def start_block(bufs, b):
+            for cp in in_copies(bufs, b):
+                cp.start()
+
+        def wait_block(bufs, b):
+            for cp in in_copies(bufs, b):
+                cp.wait()
+
+        # ---- per-contact sweeps (k = slot inside SMEM block) ----
+
+        def warm_sweep(bufs, cnt):
+            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+
+            def one(k, _):
+                base = k * 12
+                nx = con_s[base]
+                ny = con_s[base + 1]
+                wn = warm_s[k * 2]
+                wt = warm_s[k * 2 + 1]
+                px = nx * wn - ny * wt
+                py = ny * wn + nx * wt
+                r1x = con_s[base + 2]
+                r1y = con_s[base + 3]
+                r2x = con_s[base + 4]
+                r2y = con_s[base + 5]
+                i = b1_s[k] * 8
+                j = b2_s[k] * 8
+                im1 = body_ref[i + 3]
+                ii1 = body_ref[i + 4]
+                im2 = body_ref[j + 3]
+                ii2 = body_ref[j + 4]
+                body_ref[i] = body_ref[i] - px * im1
+                body_ref[i + 1] = body_ref[i + 1] - py * im1
+                body_ref[i + 2] = body_ref[i + 2] - ii1 * (r1x * py - r1y * px)
+                body_ref[j] = body_ref[j] + px * im2
+                body_ref[j + 1] = body_ref[j + 1] + py * im2
+                body_ref[j + 2] = body_ref[j + 2] + ii2 * (r2x * py - r2y * px)
+                acc_s[k * 3] = wn
+                acc_s[k * 3 + 1] = wt
+                acc_s[k * 3 + 2] = 0.0
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
+        def vel_sweep(bufs, cnt):
+            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+
+            def one(k, _):
+                base = k * 12
+                nx = con_s[base]
+                ny = con_s[base + 1]
+                r1x = con_s[base + 2]
+                r1y = con_s[base + 3]
+                r2x = con_s[base + 4]
+                r2y = con_s[base + 5]
+                mn = con_s[base + 6]
+                mt = con_s[base + 7]
+                fr = con_s[base + 8]
+                dstv = con_s[base + 9]
+                i = b1_s[k] * 8
+                j = b2_s[k] * 8
+                im1 = body_ref[i + 3]
+                ii1 = body_ref[i + 4]
+                im2 = body_ref[j + 3]
+                ii2 = body_ref[j + 4]
+                vx1 = body_ref[i]
+                vy1 = body_ref[i + 1]
+                w1 = body_ref[i + 2]
+                vx2 = body_ref[j]
+                vy2 = body_ref[j + 1]
+                w2 = body_ref[j + 2]
+                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                vn = nx * dvx + ny * dvy
+                d = (dstv - vn) * mn
+                a = acc_s[k * 3]
+                na = jnp.maximum(a + d, 0.0)
+                d = na - a
+                acc_s[k * 3] = na
+                px = nx * d
+                py = ny * d
+                vx1 -= px * im1
+                vy1 -= py * im1
+                w1 -= ii1 * (r1x * py - r1y * px)
+                vx2 += px * im2
+                vy2 += py * im2
+                w2 += ii2 * (r2x * py - r2y * px)
+                res = jnp.abs(d)
+                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                vt = -ny * dvx + nx * dvy
+                d = -vt * mt
+                a = acc_s[k * 3 + 1]
+                mf = fr * na
+                ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
+                d = ta - a
+                acc_s[k * 3 + 1] = ta
+                px = -ny * d
+                py = nx * d
+                body_ref[i] = vx1 - px * im1
+                body_ref[i + 1] = vy1 - py * im1
+                body_ref[i + 2] = w1 - ii1 * (r1x * py - r1y * px)
+                body_ref[j] = vx2 + px * im2
+                body_ref[j + 1] = vy2 + py * im2
+                body_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
+                res_ref[0] = jnp.maximum(res_ref[0],
+                                         jnp.maximum(res, jnp.abs(d)))
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
+        def pos_sweep(bufs, cnt):
+            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+
+            def one(k, _):
+                base = k * 12
+                nx = con_s[base]
+                ny = con_s[base + 1]
+                r1x = con_s[base + 2]
+                r1y = con_s[base + 3]
+                r2x = con_s[base + 4]
+                r2y = con_s[base + 5]
+                mn = con_s[base + 6]
+                ddv = con_s[base + 10]
+                i = b1_s[k] * 8
+                j = b2_s[k] * 8
+                im1 = body_ref[i + 3]
+                ii1 = body_ref[i + 4]
+                im2 = body_ref[j + 3]
+                ii2 = body_ref[j + 4]
+                px1 = body_ref[i + 5]
+                py1 = body_ref[i + 6]
+                q1 = body_ref[i + 7]
+                px2 = body_ref[j + 5]
+                py2 = body_ref[j + 6]
+                q2 = body_ref[j + 7]
+                dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                vn = nx * dvx + ny * dvy
+                d = (ddv - vn) * mn
+                a = acc_s[k * 3 + 2]
+                na = jnp.maximum(a + d, 0.0)
+                d = na - a
+                acc_s[k * 3 + 2] = na
+                ix = nx * d
+                iy = ny * d
+                body_ref[i + 5] = px1 - ix * im1
+                body_ref[i + 6] = py1 - iy * im1
+                body_ref[i + 7] = q1 - ii1 * (r1x * iy - r1y * ix)
+                body_ref[j + 5] = px2 + ix * im2
+                body_ref[j + 6] = py2 + iy * im2
+                body_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
+        # ---- orchestration: two global steps per loop iteration with
+        # statically assigned buffer sets (A for even g, B for odd g) ----
+
+        def do_step(g, cur, nxt):
+            p = g // n_blocks
+            b = g % n_blocks
+
+            # Prefetch step g+1 into the other set.  Its previous acc
+            # write-out (issued at step g-1) must land first: WAR on that
+            # scratch, and it is the most recent write, so all older
+            # writes — incl. last pass's write to block b+1 — are done.
+            @pl.when(g + 1 < total)
+            def _():
+                @pl.when(g >= 1)
+                def _():
+                    acc_out_copy(nxt, (g - 1) % n_blocks).wait()
+                start_block(nxt, (g + 1) % n_blocks)
+
+            wait_block(cur, b)
+
+            # Residual reports the LAST velocity pass: reset at the start
+            # of every velocity pass.
+            @pl.when((b == 0) & (p >= 1) & (p <= vel_iters))
+            def _():
+                res_ref[0] = 0.0
+
+            cnt = jnp.clip(num - b * BLK, 0, BLK)
+            kind = jnp.where(p == 0, 0, jnp.where(p <= vel_iters, 1, 2))
+            # The warm pass runs over the FULL block: it doubles as the acc
+            # initializer (acc_hbm starts uninitialized), and slots >= num
+            # are exact no-ops (warm = 0, masses = 0, clamped body ids).
+            jax.lax.switch(kind, [
+                lambda: warm_sweep(cur, BLK),
+                lambda: vel_sweep(cur, cnt),
+                lambda: pos_sweep(cur, cnt),
+            ])
+
+            acc_out_copy(cur, b).start()
+
+        start_block(set_a, jnp.int32(0))
+
+        def g2step(h, _):
+            g = 2 * h
+            do_step(g, set_a, set_b)
+
+            @pl.when(g + 1 < total)
+            def _():
+                do_step(g + 1, set_b, set_a)
+            return 0
+
+        jax.lax.fori_loop(0, (total + 1) // 2, g2step, 0)
+        # Drain BOTH in-flight acc write-outs (steps total-2 and total-1);
+        # the one from total-2 was only ever waited by total's (nonexistent)
+        # prefetch.  total >= 2 is guaranteed by n_blocks >= 2.
+        last = total - 1
+        prev = total - 2
+        acc_out_copy(set_a if prev % 2 == 0 else set_b,
+                     jnp.int32(prev % n_blocks)).wait()
+        acc_out_copy(set_a if last % 2 == 0 else set_b,
+                     jnp.int32(last % n_blocks)).wait()
+        # Flush the body working set back to its (aliased) HBM buffer.
+        body_out_cp = pltpu.make_async_copy(body_ref, body_hbm, body_sem)
+        body_out_cp.start()
+        body_out_cp.wait()
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters"))
+def solve_contacts_streamed(
+    body_flat: jax.Array,    # (N*8,) f32
+    b1: jax.Array,           # (C,) int32, C multiple of BLK, C >= 2*BLK
+    b2: jax.Array,           # (C,) int32
+    con_flat: jax.Array,     # (C*12,) f32
+    warm_flat: jax.Array,    # (C*2,) f32
+    num_contacts: jax.Array,  # () int32
+    vel_iters: int,
+    pos_iters: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (body_flat', acc (C*3,), residual (1,)).
+
+    Contact slots >= num_contacts must be no-ops (mass_n = mass_t = 0,
+    warm = 0) — guaranteed by solver.py packing."""
+    n_cap = body_flat.shape[0] // 8
+    c_cap = b1.shape[0]
+    assert c_cap % BLK == 0 and c_cap >= 2 * BLK, c_cap
+    n_blocks = c_cap // BLK
+    kern = _streamed_kernel(vel_iters, pos_iters, n_blocks, n_cap)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    def bufset():
+        return [
+            pltpu.SMEM((BLK,), jnp.int32),        # b1_s
+            pltpu.SMEM((BLK,), jnp.int32),        # b2_s
+            pltpu.SMEM((BLK * 12,), jnp.float32),  # con_s
+            pltpu.SMEM((BLK * 2,), jnp.float32),   # warm_s
+            pltpu.SMEM((BLK * 3,), jnp.float32),   # acc_s
+            pltpu.SemaphoreType.DMA((5,)),         # in sems
+            pltpu.SemaphoreType.DMA,               # acc out sem
+        ]
+
+    body_out, acc, res = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cap * 8,), jnp.float32),
+            jax.ShapeDtypeStruct((c_cap * 3,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
+        in_specs=[smem, anyspec, anyspec, anyspec, anyspec, anyspec],
+        out_specs=(anyspec, anyspec, smem),
+        input_output_aliases={5: 0},   # body_flat HBM buffer reused as output
+        scratch_shapes=([pltpu.SMEM((n_cap * 8,), jnp.float32),
+                         pltpu.SemaphoreType.DMA]
+                        + bufset() + bufset()),
+        interpret=_use_interpret(),
+    )(jnp.reshape(num_contacts.astype(jnp.int32), (1,)),
+      b1, b2, con_flat, warm_flat, body_flat)
+    return body_out, acc, res

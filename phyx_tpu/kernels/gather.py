@@ -46,5 +46,9 @@ def gather_rows(table: jax.Array, idx: jax.Array, fill: float | None = None
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        # Large-K gathers (10k+ boxes: 80k+ rows) exceed the default
+        # scoped-vmem stack budget; raise the per-kernel cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_use_interpret(),
     )(idx.astype(jnp.int32), table)

@@ -177,15 +177,24 @@ def pallas_smem_bytes(n_bodies_cap: int, n_contact_cap: int) -> int:
                 + n_contact_cap * (12 + 2 + 4 + 2))
 
 
+def pallas_streamed_smem_bytes(n_bodies_cap: int) -> int:
+    """SMEM footprint of the streamed solver (contact_solver_streamed.py):
+    body (N*8 f32, aliased in/out) + fixed double-buffered block scratch."""
+    from phyx_tpu.kernels.contact_solver_streamed import BLK
+    return 4 * n_bodies_cap * 8 + 2 * BLK * (12 + 2 + 3 + 1 + 1) * 4
+
+
 PALLAS_SMEM_BUDGET = 900 * 1024   # leave headroom under the 1MB space
 
 
 def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
-                 cfg: SimConfig
+                 cfg: SimConfig, streamed: bool = False
                  ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array]:
-    """Fused warm-start + velocity + position solve via the Pallas kernel
-    (kernels/contact_solver.py).  Exact sequential Gauss-Seidel order —
-    no coloring needed; returns (bodies', accum_n, accum_t, residual)."""
+    """Fused warm-start + velocity + position solve via the Pallas kernels
+    (kernels/contact_solver*.py).  Exact sequential Gauss-Seidel order —
+    no coloring needed; returns (bodies', accum_n, accum_t, residual).
+    ``streamed`` selects the HBM-streaming variant for contact buffers
+    beyond SMEM capacity."""
     from phyx_tpu.kernels.contact_solver import solve_contacts_fused
 
     n = bodies.capacity
@@ -209,12 +218,20 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
     warm_flat = jnp.stack([contacts.warm_n, contacts.warm_t],
                           axis=1).reshape(-1)
 
-    body_out, acc, res = solve_contacts_fused(
-        body_flat, contacts.b1, contacts.b2, con_flat, warm_flat,
-        num_contacts, cfg.velocity_iterations, cfg.position_iterations)
+    if streamed:
+        from phyx_tpu.kernels.contact_solver_streamed import \
+            solve_contacts_streamed
+        body_out, acc, res = solve_contacts_streamed(
+            body_flat, contacts.b1, contacts.b2, con_flat, warm_flat,
+            num_contacts, cfg.velocity_iterations, cfg.position_iterations)
+        acc = acc.reshape(c, 3)
+    else:
+        body_out, acc, res = solve_contacts_fused(
+            body_flat, contacts.b1, contacts.b2, con_flat, warm_flat,
+            num_contacts, cfg.velocity_iterations, cfg.position_iterations)
+        acc = acc.reshape(c, 4)
 
     body_out = body_out.reshape(n, 8)
-    acc = acc.reshape(c, 4)
     bodies = bodies.replace(
         vel=body_out[:, 0:2],
         angvel=body_out[:, 2],

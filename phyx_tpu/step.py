@@ -65,19 +65,26 @@ def step(state: State, cfg: SimConfig) -> State:
 
     contacts = solver.prepare(bodies, contacts, cfg)
 
+    # Backend selection (static, by capacity): all-SMEM fused kernel when
+    # everything fits; HBM-streamed kernel when only the body state fits;
+    # colored XLA sweeps as the last-resort correctness fallback.
+    from phyx_tpu.kernels.contact_solver_streamed import BLK as _BLK
+    c_cap = contacts.valid.shape[0]
     use_pallas = cfg.solver_backend == "pallas"
+    streamed = False
     if use_pallas and solver.pallas_smem_bytes(
-            bodies.capacity, contacts.valid.shape[0]
-    ) > solver.PALLAS_SMEM_BUDGET:
-        # Fused kernel would exceed SMEM at these capacities; fall back to
-        # the colored XLA sweeps (correct, slower) until the grid-blocked
-        # kernel variant lands.
-        use_pallas = False
+            bodies.capacity, c_cap) > solver.PALLAS_SMEM_BUDGET:
+        if (c_cap % _BLK == 0 and c_cap >= 2 * _BLK
+                and solver.pallas_streamed_smem_bytes(bodies.capacity)
+                <= solver.PALLAS_SMEM_BUDGET):
+            streamed = True
+        else:
+            use_pallas = False
 
     if use_pallas:
         # fused kernel: exact serial Gauss-Seidel order, no coloring needed
         bodies, accum_n, accum_t, residual = solver.solve_pallas(
-            bodies, contacts, 2 * pairs.num, cfg)
+            bodies, contacts, 2 * pairs.num, cfg, streamed=streamed)
     else:
         body_static = (bodies.inv_mass == 0.0) & (bodies.inv_inertia == 0.0)
         contacts = color_contacts(contacts, body_static, cfg)

@@ -66,3 +66,36 @@ def test_pallas_vs_xla_backend_agree():
         st_x = step(st_x, cfg_x)
     np.testing.assert_allclose(np.asarray(st_p.bodies.pos),
                                np.asarray(st_x.bodies.pos), atol=3e-2)
+
+
+def test_streamed_matches_fused_bitexact():
+    """The HBM-streamed solver variant must equal the all-SMEM kernel
+    bit-for-bit (same serial sweep, different data movement).  Forced by
+    monkeypatching the SMEM-fit predicate."""
+    import jax
+    import phyx_tpu.solver as solver
+    import phyx_tpu.step as step_mod
+
+    cfg = SimConfig(max_bodies=128, max_pairs=1024, broadphase="n2",
+                    solver_backend="pallas")
+    sb = scenes.pile(cfg, 30, seed=3)
+    st_f = sb.build()
+    st_s = sb.build()
+
+    for _ in range(10):
+        st_f = step_mod.step(st_f, cfg)
+
+    orig = solver.pallas_smem_bytes
+    solver.pallas_smem_bytes = lambda n, c: 10 ** 9  # force "fused unfit"
+    jax.clear_caches()
+    try:
+        for _ in range(10):
+            st_s = step_mod.step(st_s, cfg)
+    finally:
+        solver.pallas_smem_bytes = orig
+        jax.clear_caches()
+
+    np.testing.assert_array_equal(np.asarray(st_f.bodies.pos),
+                                  np.asarray(st_s.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(st_f.bodies.vel),
+                                  np.asarray(st_s.bodies.vel))
