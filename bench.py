@@ -40,19 +40,25 @@ def build(scene: str, boxes: int, backend: str):
     cap = 1
     while cap < boxes + 8:
         cap *= 2
+    joint_scene = scene in ("chain", "bridge", "net")
     cfg = SimConfig(
         max_bodies=cap,
         # Settled piles hold ~2.6 pairs/box (measured); 4x is safe headroom
         # while keeping the contact buffers lean enough for SMEM residency.
         # Rounded to 512 so contact slots hit the streamed kernel's
-        # 1024-slot DMA granularity.
-        max_pairs=max(1024, (boxes * 4 + 511) // 512 * 512),
+        # 1024-slot DMA granularity.  Joint scenes (collide-connected pairs
+        # excluded) carry far fewer contacts; their budget trades contact
+        # slots for joint slots to stay in the fused kernel's SMEM envelope.
+        max_pairs=max(1024, ((boxes * (2 if joint_scene else 4)) + 511)
+                      // 512 * 512),
+        max_joints=cap if joint_scene else 0,
         broadphase="sap",
         sap_window=96,
         num_colors=24,
         solver_backend=backend,
     )
-    sb = getattr(scenes, scene)(cfg, boxes, seed=0)
+    kw = {} if joint_scene else {"seed": 0}
+    sb = getattr(scenes, scene)(cfg, boxes, **kw)
     return cfg, sb.build()
 
 
@@ -63,7 +69,8 @@ def main():
     ap.add_argument("--settle", type=int, default=300,
                     help="pre-measurement frames so the pile reaches its "
                          "settled, contact-rich state")
-    ap.add_argument("--scene", default="pile", choices=["pile", "avalanche"])
+    ap.add_argument("--scene", default="pile",
+                    choices=["pile", "avalanche", "chain", "bridge", "net"])
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 

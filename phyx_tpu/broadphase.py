@@ -223,6 +223,10 @@ def _sweep_kernel_smem_bytes(n: int, max_pairs: int) -> int:
 def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
     if cfg.broadphase == "n2":
         return broadphase_n2(bodies, cfg)
+    if cfg.broadphase == "sap_kernel":
+        return broadphase_sap_kernel(bodies, cfg)
+    if cfg.broadphase == "sap_window":
+        return broadphase_sap(bodies, cfg)
     if (cfg.solver_backend == "pallas"
             and _sweep_kernel_smem_bytes(bodies.capacity, cfg.max_pairs)
             <= 900 * 1024):

@@ -43,15 +43,22 @@ class SimConfig:
     max_displacement_velocity: float = 0.2
     # Relative approach speed below which restitution is ignored.
     restitution_threshold: float = 1.0
+    # Fraction of joint anchor error corrected per displacement iteration
+    # (user joints: revolute/distance, joints.py).
+    joint_beta: float = 0.2
 
     # --- capacities (static shapes) ---
     max_bodies: int = 1024
     max_pairs: int = 8192           # candidate pair buffer (broadphase out)
     max_contacts: int = 16384       # = 2 * max_pairs contact-point slots
+    max_joints: int = 0             # user-joint slots (revolute/distance)
 
     # --- broadphase ---
-    # "n2"  : masked O(N^2) all-pairs (small scenes, exact)
-    # "sap" : sort by min-x + fixed forward window (TPU-shaped sweep&prune)
+    # "n2"         : masked O(N^2) all-pairs (small scenes, exact)
+    # "sap"        : auto — Pallas sweep kernel when the solver backend is
+    #                pallas and it fits SMEM, else the windowed XLA sweep
+    # "sap_window" : force the windowed XLA sweep
+    # "sap_kernel" : force the Pallas emission kernel
     broadphase: str = "sap"
     sap_window: int = 16            # forward neighbors examined per body
     # Bodies with the top-K largest x-extent (ground planes, slopes) are
@@ -77,7 +84,7 @@ class SimConfig:
     def __post_init__(self):
         if self.max_contacts < 2 * self.max_pairs:
             object.__setattr__(self, "max_contacts", 2 * self.max_pairs)
-        if self.broadphase not in ("n2", "sap"):
+        if self.broadphase not in ("n2", "sap", "sap_window", "sap_kernel"):
             raise ValueError(f"unknown broadphase {self.broadphase!r}")
         if self.solver_backend not in ("xla", "pallas"):
             raise ValueError(f"unknown solver_backend {self.solver_backend!r}")

@@ -46,12 +46,19 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int):
-    """Build the kernel body with static iteration counts / capacities."""
+def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
+                   j_cap: int = 0):
+    """Build the kernel body with static iteration counts / capacities.
+
+    Row slots [0, c_cap) are contacts; slots [c_cap, c_cap + j_cap) are
+    user-joint rows (revolute/distance, encodings in joints.py) swept after
+    the contacts in every pass.  j_cap == 0 compiles the joint loops away.
+    """
 
     def kern(num_ref, b1_ref, b2_ref, con_ref, warm_ref, body_in_ref,
              body_ref, acc_ref, res_ref):
         num = num_ref[0]
+        numj = num_ref[1]
 
         # -- copy body state into the writable SMEM output --
         def cpy(i, _):
@@ -63,7 +70,122 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int):
         def ini(k, _):
             acc_ref[k] = 0.0
             return 0
-        jax.lax.fori_loop(0, c_cap * 4, ini, 0)
+        jax.lax.fori_loop(0, (c_cap + j_cap) * 4, ini, 0)
+
+        # ---- user-joint row sweeps (slots offset by c_cap) ----
+
+        def joint_load(k):
+            base = k * 12
+            i = b1_ref[k] * 8
+            j = b2_ref[k] * 8
+            return base, i, j
+
+        def joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, off):
+            im1 = body_ref[i + 3]
+            ii1 = body_ref[i + 4]
+            im2 = body_ref[j + 3]
+            ii2 = body_ref[j + 4]
+            body_ref[i + off] = body_ref[i + off] - px * im1
+            body_ref[i + off + 1] = body_ref[i + off + 1] - py * im1
+            body_ref[i + off + 2] = (body_ref[i + off + 2]
+                                     - ii1 * (r1x * py - r1y * px))
+            body_ref[j + off] = body_ref[j + off] + px * im2
+            body_ref[j + off + 1] = body_ref[j + off + 1] + py * im2
+            body_ref[j + off + 2] = (body_ref[j + off + 2]
+                                     + ii2 * (r2x * py - r2y * px))
+
+        def joint_warm_one(kk, _):
+            k = c_cap + kk
+            base, i, j = joint_load(k)
+            kind = con_ref[base + 11]
+            wx = warm_ref[k * 2]
+            wy = warm_ref[k * 2 + 1]
+            is_rev = kind == 1.0
+            r1x = jnp.where(is_rev, con_ref[base], con_ref[base + 2])
+            r1y = jnp.where(is_rev, con_ref[base + 1], con_ref[base + 3])
+            r2x = jnp.where(is_rev, con_ref[base + 2], con_ref[base + 4])
+            r2y = jnp.where(is_rev, con_ref[base + 3], con_ref[base + 5])
+            px = jnp.where(is_rev, wx, con_ref[base] * wx)
+            py = jnp.where(is_rev, wy, con_ref[base + 1] * wx)
+            joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
+            acc_ref[k * 4] = wx
+            acc_ref[k * 4 + 1] = jnp.where(is_rev, wy, 0.0)
+            return 0
+
+        def joint_vel_one(kk, _):
+            k = c_cap + kk
+            base, i, j = joint_load(k)
+            kind = con_ref[base + 11]
+            is_rev = kind == 1.0
+            r1x = jnp.where(is_rev, con_ref[base], con_ref[base + 2])
+            r1y = jnp.where(is_rev, con_ref[base + 1], con_ref[base + 3])
+            r2x = jnp.where(is_rev, con_ref[base + 2], con_ref[base + 4])
+            r2y = jnp.where(is_rev, con_ref[base + 3], con_ref[base + 5])
+            vx1 = body_ref[i]
+            vy1 = body_ref[i + 1]
+            w1 = body_ref[i + 2]
+            vx2 = body_ref[j]
+            vy2 = body_ref[j + 1]
+            w2 = body_ref[j + 2]
+            dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+            dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+            # revolute: impulse = -(M @ dv); distance: -mass * (n . dv) * n
+            m00 = con_ref[base + 4]
+            m01 = con_ref[base + 5]
+            m11 = con_ref[base + 6]
+            px_r = -(m00 * dvx + m01 * dvy)
+            py_r = -(m01 * dvx + m11 * dvy)
+            nx = con_ref[base]
+            ny = con_ref[base + 1]
+            dd = -(con_ref[base + 6]) * (nx * dvx + ny * dvy)
+            px = jnp.where(is_rev, px_r, nx * dd)
+            py = jnp.where(is_rev, py_r, ny * dd)
+            acc_ref[k * 4] = acc_ref[k * 4] + jnp.where(is_rev, px, dd)
+            acc_ref[k * 4 + 1] = acc_ref[k * 4 + 1] + jnp.where(
+                is_rev, py, 0.0)
+            joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
+            res_ref[0] = jnp.maximum(
+                res_ref[0], jnp.maximum(jnp.abs(px), jnp.abs(py)))
+            return 0
+
+        def joint_pos_one(kk, _):
+            k = c_cap + kk
+            base, i, j = joint_load(k)
+            kind = con_ref[base + 11]
+            is_rev = kind == 1.0
+            r1x = jnp.where(is_rev, con_ref[base], con_ref[base + 2])
+            r1y = jnp.where(is_rev, con_ref[base + 1], con_ref[base + 3])
+            r2x = jnp.where(is_rev, con_ref[base + 2], con_ref[base + 4])
+            r2y = jnp.where(is_rev, con_ref[base + 3], con_ref[base + 5])
+            px1 = body_ref[i + 5]
+            py1 = body_ref[i + 6]
+            q1 = body_ref[i + 7]
+            px2 = body_ref[j + 5]
+            py2 = body_ref[j + 6]
+            q2 = body_ref[j + 7]
+            dvx = px2 - q2 * r2y - px1 + q1 * r1y
+            dvy = py2 + q2 * r2x - py1 - q1 * r1x
+            m00 = con_ref[base + 4]
+            m01 = con_ref[base + 5]
+            m11 = con_ref[base + 6]
+            dstx = con_ref[base + 7]
+            dsty = con_ref[base + 8]
+            ex = dstx - dvx
+            ey = dsty - dvy
+            px_r = m00 * ex + m01 * ey
+            py_r = m01 * ex + m11 * ey
+            nx = con_ref[base]
+            ny = con_ref[base + 1]
+            dd = con_ref[base + 6] * (con_ref[base + 7]
+                                      - (nx * dvx + ny * dvy))
+            px = jnp.where(is_rev, px_r, nx * dd)
+            py = jnp.where(is_rev, py_r, ny * dd)
+            acc_ref[k * 4 + 2] = acc_ref[k * 4 + 2] + jnp.where(
+                is_rev, px, dd)
+            acc_ref[k * 4 + 3] = acc_ref[k * 4 + 3] + jnp.where(
+                is_rev, py, 0.0)
+            joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 5)
+            return 0
 
         # -- warm start: apply cached impulses (SURVEY.md §3.2) --
         def warm(k, _):
@@ -95,6 +217,8 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int):
             acc_ref[k * 4 + 1] = wt
             return 0
         jax.lax.fori_loop(0, num, warm, 0)
+        if j_cap:
+            jax.lax.fori_loop(0, numj, joint_warm_one, 0)
 
         # -- velocity iterations (hot loop #1) --
         def vel_iter(_, carry):
@@ -162,6 +286,8 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int):
 
             res = jax.lax.fori_loop(0, num, one, jnp.float32(0.0))
             res_ref[0] = res   # overwritten each iter -> last iter's value
+            if j_cap:
+                jax.lax.fori_loop(0, numj, joint_vel_one, 0)
             return carry
         jax.lax.fori_loop(0, vel_iters, vel_iter, 0)
 
@@ -207,38 +333,49 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int):
                 body_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
                 return 0
             jax.lax.fori_loop(0, num, one, 0)
+            if j_cap:
+                jax.lax.fori_loop(0, numj, joint_pos_one, 0)
             return carry
         jax.lax.fori_loop(0, pos_iters, pos_iter, 0)
 
     return kern
 
 
-@functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters"))
+@functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters",
+                                             "j_cap"))
 def solve_contacts_fused(
     body_flat: jax.Array,    # (N*8,) f32
-    b1: jax.Array,           # (C,) int32
-    b2: jax.Array,           # (C,) int32
-    con_flat: jax.Array,     # (C*12,) f32
-    warm_flat: jax.Array,    # (C*2,) f32
+    b1: jax.Array,           # (C+J,) int32
+    b2: jax.Array,           # (C+J,) int32
+    con_flat: jax.Array,     # ((C+J)*12,) f32
+    warm_flat: jax.Array,    # ((C+J)*2,) f32
     num_contacts: jax.Array,  # () int32
     vel_iters: int,
     pos_iters: int,
+    num_joints: jax.Array | None = None,   # () int32
+    j_cap: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (body_flat', acc (C*4,), residual (1,))."""
+    """Returns (body_flat', acc ((C+J)*4,), residual (1,)).
+
+    Slots [0, C) are contact rows; slots [C, C+J) are user-joint rows
+    (joints.py encodings), swept after the contacts in every pass."""
     n_cap = body_flat.shape[0] // 8
-    c_cap = b1.shape[0]
-    kern = _solver_kernel(vel_iters, pos_iters, c_cap, n_cap)
+    c_cap = b1.shape[0] - j_cap
+    kern = _solver_kernel(vel_iters, pos_iters, c_cap, n_cap, j_cap)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if num_joints is None:
+        num_joints = jnp.zeros((), jnp.int32)
+    nums = jnp.stack([num_contacts.astype(jnp.int32),
+                      num_joints.astype(jnp.int32)])
     body_out, acc, res = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((n_cap * 8,), jnp.float32),
-            jax.ShapeDtypeStruct((c_cap * 4,), jnp.float32),
+            jax.ShapeDtypeStruct(((c_cap + j_cap) * 4,), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
         in_specs=[smem] * 6,
         out_specs=(smem, smem, smem),
         interpret=_use_interpret(),
-    )(jnp.reshape(num_contacts.astype(jnp.int32), (1,)),
-      b1, b2, con_flat, warm_flat, body_flat)
+    )(nums, b1, b2, con_flat, warm_flat, body_flat)
     return body_out, acc, res

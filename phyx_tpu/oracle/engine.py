@@ -155,6 +155,27 @@ def collide_box_box_np(pa, ra, ha, pb, rb, hb):
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
+class _UserJoint:
+    """Revolute (kind 1) or distance (kind 2) constraint; scalar analog of
+    joints.py rows, solved after the contacts in every iteration."""
+    kind: int
+    b1: int
+    b2: int
+    a1: np.ndarray           # local anchors
+    a2: np.ndarray
+    rest: float = 0.0
+    # prepared per frame:
+    r1: np.ndarray = None
+    r2: np.ndarray = None
+    m00: float = 0.0         # revolute 2x2 inverse mass / distance mass
+    m01: float = 0.0
+    m11: float = 0.0
+    n: np.ndarray = None     # distance axis
+    dst: np.ndarray = None   # displacement target (2,) rev / (1,) dist
+    accum: np.ndarray = None  # warm-start velocity impulse (2,)
+
+
+@dataclasses.dataclass
 class _Joint:
     """Per-contact-point constraint, the scalar analog of the reference's
     ContactJoint (normal + friction limiter, SURVEY.md §2 C6)."""
@@ -192,6 +213,7 @@ class OracleWorld:
         # contact cache: {(i, j): {fid: (accum_n, accum_t)}}
         self.cache = {}
         self.joints: List[_Joint] = []
+        self.user_joints: List[_UserJoint] = []
         self.last_pairs: List[Tuple[int, int]] = []
 
     # -- construction --
@@ -217,6 +239,28 @@ class OracleWorld:
         self.restitution.append(float(restitution))
         return len(self.pos) - 1
 
+    def add_revolute_joint(self, b1: int, b2: int, world_anchor) -> int:
+        w = np.asarray(world_anchor, np.float64)
+        self.user_joints.append(_UserJoint(
+            kind=1, b1=b1, b2=b2,
+            a1=self._to_local(b1, w), a2=self._to_local(b2, w),
+            accum=np.zeros(2)))
+        return len(self.user_joints) - 1
+
+    def add_distance_joint(self, b1: int, b2: int, anchor1, anchor2,
+                           rest: Optional[float] = None) -> int:
+        w1 = np.asarray(anchor1, np.float64)
+        w2 = np.asarray(anchor2, np.float64)
+        if rest is None:
+            rest = float(np.linalg.norm(w2 - w1))
+        self.user_joints.append(_UserJoint(
+            kind=2, b1=b1, b2=b2, a1=self._to_local(b1, w1),
+            a2=self._to_local(b2, w2), rest=rest, accum=np.zeros(2)))
+        return len(self.user_joints) - 1
+
+    def _to_local(self, i, w):
+        return _rot_mat(self.rot[i]).T @ (w - self.pos[i])
+
     @property
     def n(self):
         return len(self.pos)
@@ -236,6 +280,8 @@ class OracleWorld:
     def broadphase(self) -> List[Tuple[int, int]]:
         lo, hi = self._aabbs()
         order = sorted(range(self.n), key=lambda i: lo[i, 0])
+        skip = {(min(uj.b1, uj.b2), max(uj.b1, uj.b2))
+                for uj in self.user_joints}   # collide-connected = false
         pairs = []
         for si, i in enumerate(order):
             for j in order[si + 1:]:
@@ -244,6 +290,8 @@ class OracleWorld:
                 if lo[j, 1] > hi[i, 1] or lo[i, 1] > hi[j, 1]:
                     continue
                 if self.inv_mass[i] == 0.0 and self.inv_mass[j] == 0.0:
+                    continue
+                if (min(i, j), max(i, j)) in skip:
                     continue
                 pairs.append((min(i, j), max(i, j)))
         pairs.sort()
@@ -286,19 +334,30 @@ class OracleWorld:
         # 4. prepare (PrepareJoints, SURVEY.md §3.4)
         for jt in joints:
             self._prepare(jt)
+        for uj in self.user_joints:
+            self._prepare_user(uj)
 
         # 5. warm start: re-apply cached accumulated impulses
         for jt in joints:
             t = _perp(jt.normal)
             self._apply(jt, jt.normal * jt.accum_n + t * jt.accum_t)
+        for uj in self.user_joints:
+            if uj.kind == 1:
+                self._apply_user(uj, uj.accum.copy())
+            else:
+                self._apply_user(uj, uj.n * uj.accum[0])
 
         order = list(joint_order) if joint_order is not None \
             else list(range(len(joints)))
 
-        # 6. velocity iterations (SolveJointsImpulses, hot loop #1)
+        # 6. velocity iterations (SolveJointsImpulses, hot loop #1);
+        #    user joints sweep after the contacts in every iteration,
+        #    matching the kernels' slot ordering.
         for _ in range(cfg.velocity_iterations):
             for k in order:
                 self._solve_velocity(joints[k])
+            for uj in self.user_joints:
+                self._solve_user_velocity(uj)
 
         # 7. position / displacement iterations (hot loop #2)
         dvel = [np.zeros(2) for _ in range(self.n)]
@@ -306,6 +365,8 @@ class OracleWorld:
         for _ in range(cfg.position_iterations):
             for k in order:
                 self._solve_displacement(joints[k], dvel, dang)
+            for uj in self.user_joints:
+                self._solve_user_displacement(uj, dvel, dang)
 
         # 8. integrate positions (+ displacement pseudo-velocities)
         for i in range(self.n):
@@ -349,6 +410,68 @@ class OracleWorld:
     def _point_vel(self, i, r):
         w = self.angvel[i]
         return self.vel[i] + np.array([-w * r[1], w * r[0]])
+
+    # -- user joints (revolute / distance, joints.py semantics) --
+    def _prepare_user(self, uj: _UserJoint):
+        cfg = self.cfg
+        i, j = uj.b1, uj.b2
+        uj.r1 = _rot_mat(self.rot[i]) @ uj.a1
+        uj.r2 = _rot_mat(self.rot[j]) @ uj.a2
+        err = (self.pos[j] + uj.r2) - (self.pos[i] + uj.r1)
+        im1, im2 = self.inv_mass[i], self.inv_mass[j]
+        ii1, ii2 = self.inv_inertia[i], self.inv_inertia[j]
+        lim = cfg.max_displacement_velocity
+        if uj.kind == 1:
+            k00 = im1 + im2 + ii1 * uj.r1[1] ** 2 + ii2 * uj.r2[1] ** 2
+            k01 = -ii1 * uj.r1[0] * uj.r1[1] - ii2 * uj.r2[0] * uj.r2[1]
+            k11 = im1 + im2 + ii1 * uj.r1[0] ** 2 + ii2 * uj.r2[0] ** 2
+            det = k00 * k11 - k01 * k01
+            inv = 1.0 / det if abs(det) > 1e-30 else 0.0
+            uj.m00, uj.m01, uj.m11 = k11 * inv, -k01 * inv, k00 * inv
+            uj.dst = np.clip(-cfg.joint_beta * err, -lim, lim)
+        else:
+            dist = float(np.linalg.norm(err))
+            uj.n = err / dist if dist > 1e-9 else np.array([1.0, 0.0])
+            rn1, rn2 = _cross(uj.r1, uj.n), _cross(uj.r2, uj.n)
+            kd = im1 + im2 + ii1 * rn1 ** 2 + ii2 * rn2 ** 2
+            uj.m00 = 1.0 / kd if kd > 0.0 else 0.0
+            uj.dst = np.array([
+                np.clip(cfg.joint_beta * (uj.rest - dist), -lim, lim)])
+
+    def _apply_user(self, uj: _UserJoint, impulse: np.ndarray):
+        i, j = uj.b1, uj.b2
+        self.vel[i] = self.vel[i] - impulse * self.inv_mass[i]
+        self.angvel[i] -= self.inv_inertia[i] * _cross(uj.r1, impulse)
+        self.vel[j] = self.vel[j] + impulse * self.inv_mass[j]
+        self.angvel[j] += self.inv_inertia[j] * _cross(uj.r2, impulse)
+
+    def _solve_user_velocity(self, uj: _UserJoint):
+        dv = self._point_vel(uj.b2, uj.r2) - self._point_vel(uj.b1, uj.r1)
+        if uj.kind == 1:
+            imp = -np.array([uj.m00 * dv[0] + uj.m01 * dv[1],
+                             uj.m01 * dv[0] + uj.m11 * dv[1]])
+            uj.accum = uj.accum + imp
+        else:
+            d = -uj.m00 * float(uj.n @ dv)
+            uj.accum = uj.accum + np.array([d, 0.0])
+            imp = uj.n * d
+        self._apply_user(uj, imp)
+
+    def _solve_user_displacement(self, uj: _UserJoint, dvel, dang):
+        i, j = uj.b1, uj.b2
+        pv1 = dvel[i] + np.array([-dang[i] * uj.r1[1], dang[i] * uj.r1[0]])
+        pv2 = dvel[j] + np.array([-dang[j] * uj.r2[1], dang[j] * uj.r2[0]])
+        dv = pv2 - pv1
+        if uj.kind == 1:
+            ex, ey = uj.dst[0] - dv[0], uj.dst[1] - dv[1]
+            imp = np.array([uj.m00 * ex + uj.m01 * ey,
+                            uj.m01 * ex + uj.m11 * ey])
+        else:
+            imp = uj.n * (uj.m00 * (uj.dst[0] - float(uj.n @ dv)))
+        dvel[i] = dvel[i] - imp * self.inv_mass[i]
+        dang[i] -= self.inv_inertia[i] * _cross(uj.r1, imp)
+        dvel[j] = dvel[j] + imp * self.inv_mass[j]
+        dang[j] += self.inv_inertia[j] * _cross(uj.r2, imp)
 
     def _apply(self, jt: _Joint, impulse: np.ndarray):
         i, j = jt.b1, jt.b2

@@ -188,17 +188,23 @@ PALLAS_SMEM_BUDGET = 900 * 1024   # leave headroom under the 1MB space
 
 
 def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
-                 cfg: SimConfig, streamed: bool = False
-                 ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array]:
+                 cfg: SimConfig, streamed: bool = False, joints=None,
+                 joint_rows: jax.Array | None = None,
+                 joint_warm: jax.Array | None = None,
+                 ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array,
+                            jax.Array]:
     """Fused warm-start + velocity + position solve via the Pallas kernels
     (kernels/contact_solver*.py).  Exact sequential Gauss-Seidel order —
-    no coloring needed; returns (bodies', accum_n, accum_t, residual).
-    ``streamed`` selects the HBM-streaming variant for contact buffers
-    beyond SMEM capacity."""
+    no coloring needed; returns (bodies', accum_n, accum_t, residual,
+    joint_accum (J, 2)).  ``streamed`` selects the HBM-streaming variant
+    for contact buffers beyond SMEM capacity.  ``joints`` (+ prepared
+    ``joint_rows``/``joint_warm`` from joints.prepare_joint_rows) appends
+    user-joint rows after the contact region (fused kernel only)."""
     from phyx_tpu.kernels.contact_solver import solve_contacts_fused
 
     n = bodies.capacity
     c = contacts.valid.shape[0]
+    j_cap = 0 if joints is None else joints.capacity
     zeros3 = jnp.zeros((n, 3), jnp.float32)
     body_flat = jnp.concatenate([
         bodies.vel,
@@ -214,22 +220,34 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
         contacts.mass_n, contacts.mass_t, contacts.friction,
         contacts.dst_v, contacts.dst_dv,
         jnp.zeros((c,), jnp.float32),
-    ], axis=1).reshape(-1)
-    warm_flat = jnp.stack([contacts.warm_n, contacts.warm_t],
-                          axis=1).reshape(-1)
+    ], axis=1)
+    warm_flat = jnp.stack([contacts.warm_n, contacts.warm_t], axis=1)
+    b1, b2 = contacts.b1, contacts.b2
+    num_joints = None
+    if j_cap:
+        con_flat = jnp.concatenate([con_flat, joint_rows], axis=0)
+        warm_flat = jnp.concatenate([warm_flat, joint_warm], axis=0)
+        nb = jnp.int32(n - 1)
+        b1 = jnp.concatenate([b1, jnp.minimum(joints.b1, nb)])
+        b2 = jnp.concatenate([b2, jnp.minimum(joints.b2, nb)])
+        num_joints = (joints.kind != 0).sum(dtype=jnp.int32)
+    con_flat = con_flat.reshape(-1)
+    warm_flat = warm_flat.reshape(-1)
 
     if streamed:
         from phyx_tpu.kernels.contact_solver_streamed import \
             solve_contacts_streamed
+        assert j_cap == 0, "streamed solver does not take joint rows yet"
         body_out, acc, res = solve_contacts_streamed(
-            body_flat, contacts.b1, contacts.b2, con_flat, warm_flat,
+            body_flat, b1, b2, con_flat, warm_flat,
             num_contacts, cfg.velocity_iterations, cfg.position_iterations)
         acc = acc.reshape(c, 3)
     else:
         body_out, acc, res = solve_contacts_fused(
-            body_flat, contacts.b1, contacts.b2, con_flat, warm_flat,
-            num_contacts, cfg.velocity_iterations, cfg.position_iterations)
-        acc = acc.reshape(c, 4)
+            body_flat, b1, b2, con_flat, warm_flat,
+            num_contacts, cfg.velocity_iterations, cfg.position_iterations,
+            num_joints=num_joints, j_cap=j_cap)
+        acc = acc.reshape(c + j_cap, 4)
 
     body_out = body_out.reshape(n, 8)
     bodies = bodies.replace(
@@ -238,7 +256,8 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
         dvel=body_out[:, 5:7],
         dangvel=body_out[:, 7],
     )
-    return bodies, acc[:, 0], acc[:, 1], res[0]
+    joint_accum = acc[c:, 0:2] if j_cap else jnp.zeros((0, 2), jnp.float32)
+    return bodies, acc[:c, 0], acc[:c, 1], res[0], joint_accum
 
 
 def solve_position(bodies: Bodies, contacts: Contacts, cfg: SimConfig

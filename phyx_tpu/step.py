@@ -54,12 +54,39 @@ def integrate_positions(bodies: Bodies, cfg: SimConfig) -> Bodies:
     return bodies.replace(pos=pos, rot=rot, dvel=zero2, dangvel=zero1)
 
 
+def exclude_joint_pairs(pairs, joints):
+    """Drop candidate pairs whose bodies are connected by a user joint
+    (collide-connected = false, matching standard engine semantics): the
+    contact constraints would fight the joint and jitter the chain."""
+    from phyx_tpu.broadphase import EMPTY, Pairs
+    from phyx_tpu.cache import lex_searchsorted
+
+    ja = jnp.minimum(joints.b1, joints.b2)
+    jb = jnp.maximum(joints.b1, joints.b2)
+    live = joints.kind != 0
+    ja = jnp.where(live, ja, EMPTY)
+    jb = jnp.where(live, jb, EMPTY)
+    ja, jb = jax.lax.sort((ja, jb), num_keys=2)
+    pos = lex_searchsorted(ja, jb, pairs.pi, pairs.pj)
+    posc = jnp.minimum(pos, ja.shape[0] - 1)
+    hit = (ja[posc] == pairs.pi) & (jb[posc] == pairs.pj) \
+        & (pairs.pi != EMPTY)
+    pi = jnp.where(hit, EMPTY, pairs.pi)
+    pj = jnp.where(hit, EMPTY, pairs.pj)
+    pi, pj = jax.lax.sort((pi, pj), num_keys=2)
+    return Pairs(pi=pi, pj=pj, valid=pi != EMPTY,
+                 num=pairs.num - hit.sum(dtype=jnp.int32),
+                 overflow=pairs.overflow)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def step(state: State, cfg: SimConfig) -> State:
     """One simulation frame.  jit-compiled per static cfg."""
     bodies = integrate_velocities(state.bodies, cfg)
 
     pairs = broadphase(bodies, cfg)
+    if state.joints.capacity:
+        pairs = exclude_joint_pairs(pairs, state.joints)
     contacts = narrowphase(bodies, pairs, cfg)
     contacts = warm_start_from_cache(contacts, pairs, state.cache)
 
@@ -70,21 +97,38 @@ def step(state: State, cfg: SimConfig) -> State:
     # colored XLA sweeps as the last-resort correctness fallback.
     from phyx_tpu.kernels.contact_solver_streamed import BLK as _BLK
     c_cap = contacts.valid.shape[0]
+    j_cap = state.joints.capacity
     use_pallas = cfg.solver_backend == "pallas"
     streamed = False
     if use_pallas and solver.pallas_smem_bytes(
-            bodies.capacity, c_cap) > solver.PALLAS_SMEM_BUDGET:
-        if (c_cap % _BLK == 0 and c_cap >= 2 * _BLK
+            bodies.capacity, c_cap + j_cap) > solver.PALLAS_SMEM_BUDGET:
+        if (j_cap == 0 and c_cap % _BLK == 0 and c_cap >= 2 * _BLK
                 and solver.pallas_streamed_smem_bytes(bodies.capacity)
                 <= solver.PALLAS_SMEM_BUDGET):
             streamed = True
         else:
             use_pallas = False
+    if j_cap and not use_pallas:
+        raise NotImplementedError(
+            "user joints require the fused Pallas solver: set "
+            "solver_backend='pallas' and keep max_bodies/max_pairs/"
+            "max_joints within its SMEM envelope "
+            "(solver.pallas_smem_bytes)")
 
+    joints_out = state.joints
     if use_pallas:
         # fused kernel: exact serial Gauss-Seidel order, no coloring needed
-        bodies, accum_n, accum_t, residual = solver.solve_pallas(
-            bodies, contacts, 2 * pairs.num, cfg, streamed=streamed)
+        joint_rows = joint_warm = None
+        if j_cap:
+            from phyx_tpu.joints import prepare_joint_rows
+            joint_rows, joint_warm = prepare_joint_rows(
+                bodies, state.joints, cfg)
+        bodies, accum_n, accum_t, residual, joint_accum = solver.solve_pallas(
+            bodies, contacts, 2 * pairs.num, cfg, streamed=streamed,
+            joints=state.joints if j_cap else None,
+            joint_rows=joint_rows, joint_warm=joint_warm)
+        if j_cap:
+            joints_out = state.joints.replace(accum=joint_accum)
     else:
         body_static = (bodies.inv_mass == 0.0) & (bodies.inv_inertia == 0.0)
         contacts = color_contacts(contacts, body_static, cfg)
@@ -103,7 +147,7 @@ def step(state: State, cfg: SimConfig) -> State:
             jnp.where(contacts.valid, contacts.penetration, 0.0)),
         residual=residual,
     )
-    return State(bodies=bodies, cache=cache, stats=stats)
+    return State(bodies=bodies, joints=joints_out, cache=cache, stats=stats)
 
 
 def rollout(state: State, cfg: SimConfig, num_steps: int) -> State:

@@ -137,20 +137,24 @@ class SolverStats:
 
 @_pytree_dataclass
 class State:
-    """Full simulation state: bodies + contact cache + stats.
+    """Full simulation state: bodies + user joints + contact cache + stats.
 
     This is the pytree that the jitted ``step`` maps to itself; checkpoint /
     resume is serializing this pytree (SURVEY.md §5.4).
     """
 
     bodies: Bodies
+    joints: "Joints"
     cache: ContactCache
     stats: SolverStats
 
     @staticmethod
-    def zeros(max_bodies: int, max_pairs: int) -> "State":
+    def zeros(max_bodies: int, max_pairs: int, max_joints: int = 0
+              ) -> "State":
+        from phyx_tpu.joints import Joints
         return State(
             bodies=Bodies.zeros(max_bodies),
+            joints=Joints.empty(max_joints),
             cache=ContactCache.empty(max_pairs),
             stats=SolverStats.zeros(),
         )

@@ -25,6 +25,7 @@ class SceneBuilder:
     def __init__(self, cfg: SimConfig):
         self.cfg = cfg
         self._rows = []
+        self._joints = []
 
     def add_box(self, pos, half_extent, angle: float = 0.0,
                 density: float = 1.0, friction: float = 0.3,
@@ -50,12 +51,58 @@ class SceneBuilder:
     def num_bodies(self) -> int:
         return len(self._rows)
 
+    def add_revolute_joint(self, b1: int, b2: int, world_anchor) -> int:
+        """Pin two bodies together at a world-space point (joints.py).
+        Local anchors are derived from the bodies' CURRENT build poses."""
+        return self._add_joint(1, b1, b2, world_anchor, world_anchor, 0.0)
+
+    def add_distance_joint(self, b1: int, b2: int, anchor1, anchor2,
+                           rest: Optional[float] = None) -> int:
+        """Keep two world-space anchor points at fixed distance (defaults
+        to their distance at build time)."""
+        a1 = np.asarray(anchor1, np.float64)
+        a2 = np.asarray(anchor2, np.float64)
+        if rest is None:
+            rest = float(np.linalg.norm(a2 - a1))
+        return self._add_joint(2, b1, b2, a1, a2, rest)
+
+    def _add_joint(self, kind, b1, b2, w1, w2, rest) -> int:
+        if self.cfg.max_joints <= len(self._joints):
+            raise ValueError(
+                f"joint count exceeds max_joints={self.cfg.max_joints}")
+
+        def local(body, w):
+            r = self._rows[body]
+            c, s = np.cos(r["angle"]), np.sin(r["angle"])
+            d = np.asarray(w, np.float64) - r["pos"]
+            return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+
+        self._joints.append(dict(
+            kind=kind, b1=b1, b2=b2,
+            a1=local(b1, w1), a2=local(b2, w2), rest=float(rest)))
+        return len(self._joints) - 1
+
     def build(self) -> State:
         n = self.cfg.max_bodies
         k = len(self._rows)
         if k > n:
             raise ValueError(f"{k} bodies exceed max_bodies={n}")
-        st = State.zeros(n, self.cfg.max_pairs)
+        st = State.zeros(n, self.cfg.max_pairs, self.cfg.max_joints)
+        if self._joints:
+            j = st.joints
+            nj = len(self._joints)
+
+            def jcol(key, dtype=np.float32):
+                return np.asarray([r[key] for r in self._joints], dtype)
+
+            st = st.replace(joints=j.replace(
+                kind=j.kind.at[:nj].set(jcol("kind", np.int32)),
+                b1=j.b1.at[:nj].set(jcol("b1", np.int32)),
+                b2=j.b2.at[:nj].set(jcol("b2", np.int32)),
+                a1=j.a1.at[:nj].set(jcol("a1")),
+                a2=j.a2.at[:nj].set(jcol("a2")),
+                rest=j.rest.at[:nj].set(jcol("rest")),
+            ))
         if k == 0:
             return st
         b = st.bodies
@@ -91,6 +138,13 @@ class SceneBuilder:
             if r["inv_m"] > 0.0:
                 w.inv_mass[-1] = r["inv_m"]
                 w.inv_inertia[-1] = r["inv_i"]
+        from phyx_tpu.oracle.engine import _UserJoint
+        for j in self._joints:
+            w.user_joints.append(_UserJoint(
+                kind=j["kind"], b1=j["b1"], b2=j["b2"],
+                a1=np.asarray(j["a1"], np.float64),
+                a2=np.asarray(j["a2"], np.float64),
+                rest=j["rest"], accum=np.zeros(2)))
         return w
 
 

@@ -1,0 +1,110 @@
+"""User joints (revolute/distance) vs the NumPy oracle (SURVEY.md §4).
+
+The fused kernel sweeps joint rows after the contact rows in every
+iteration, exactly like the oracle's loop ordering, so trajectory parity
+is tight.
+"""
+
+import numpy as np
+import pytest
+
+from phyx_tpu import scenes
+from phyx_tpu.config import SimConfig
+from phyx_tpu.step import step
+
+CFG = SimConfig(max_bodies=64, max_pairs=256, max_joints=32,
+                broadphase="n2", solver_backend="pallas")
+
+
+def _run_both(sb, cfg, frames):
+    st = sb.build()
+    ow = sb.to_oracle()
+    for _ in range(frames):
+        st = step(st, cfg)
+        ow.step()
+    return st, ow
+
+
+def test_revolute_chain_matches_oracle():
+    sb = scenes.chain(CFG, 5)
+    st, ow = _run_both(sb, CFG, 60)
+    np.testing.assert_allclose(np.asarray(st.bodies.pos[:7]),
+                               np.asarray(ow.pos[:7]), atol=2e-3)
+    # the chain must actually be swinging (not frozen)
+    assert float(np.abs(np.asarray(st.bodies.vel[1:7])).max()) > 1e-3
+
+
+def test_distance_net_matches_oracle():
+    sb = scenes.net(CFG, 6)
+    st, ow = _run_both(sb, CFG, 60)
+    np.testing.assert_allclose(np.asarray(st.bodies.pos[:9]),
+                               np.asarray(ow.pos[:9]), atol=2e-3)
+
+
+def test_revolute_anchor_error_bounded():
+    """A chain hanging straight down (static equilibrium) holds its pin
+    constraints to within the displacement-solve tolerance.  (A swinging
+    chain has physical transient drift; equilibrium is the tight case.)"""
+    from phyx_tpu.world import SceneBuilder
+    cfg = CFG
+    sb = SceneBuilder(cfg)
+    pivot = sb.add_box((0.0, 20.0), (0.2, 0.2), static=True)
+    prev = pivot
+    for k in range(4):
+        cy = 20.0 - 0.6 - 1.2 * k
+        link = sb.add_box((0.0, cy), (0.15, 0.6), density=2.0)
+        sb.add_revolute_joint(prev, link, (0.0, cy + 0.6))
+        prev = link
+    st = sb.build()
+    for _ in range(240):
+        st = step(st, cfg)
+    pos = np.asarray(st.bodies.pos)
+    rot = np.asarray(st.bodies.rot)
+    joints = st.joints
+    kinds = np.asarray(joints.kind)
+    for k in range(len(kinds)):
+        if kinds[k] != 1:
+            continue
+        b1, b2 = int(joints.b1[k]), int(joints.b2[k])
+        a1, a2 = np.asarray(joints.a1[k]), np.asarray(joints.a2[k])
+
+        def world(b, a):
+            c, s = rot[b]
+            return pos[b] + np.array([c * a[0] - s * a[1],
+                                      s * a[0] + c * a[1]])
+        err = np.linalg.norm(world(b1, a1) - world(b2, a2))
+        assert err < 0.02, f"joint {k} anchor error {err}"
+
+
+def test_bridge_with_load_settles():
+    """Bridge planks + dropped boxes: joints and contacts solved together;
+    the loaded bridge must sag but hold (no plank below half height)."""
+    cfg = SimConfig(max_bodies=64, max_pairs=512, max_joints=32,
+                    broadphase="n2", solver_backend="pallas")
+    sb = scenes.bridge(cfg, 8, load_boxes=3)
+    st, ow = _run_both(sb, cfg, 150)
+    # bodies: 0 ground, 1-2 pillars, 3..10 planks, 11.. load boxes
+    ys = np.asarray(st.bodies.pos[3:11, 1])
+    assert ys.min() > 3.0, f"bridge collapsed: {ys}"
+    np.testing.assert_allclose(np.asarray(st.bodies.pos[3:11]),
+                               np.asarray(ow.pos[3:11]), atol=2e-2)
+
+
+def test_joint_warm_start_carried():
+    """A settled chain carries nonzero accumulated joint impulses (gravity
+    load) across frames — the warm-start path."""
+    sb = scenes.chain(CFG, 3)
+    st = sb.build()
+    for _ in range(120):
+        st = step(st, CFG)
+    acc = np.asarray(st.joints.accum)
+    kinds = np.asarray(st.joints.kind)
+    assert np.abs(acc[kinds == 1]).max() > 1e-3
+
+
+def test_joints_require_pallas_backend():
+    cfg = CFG.replace(solver_backend="xla")
+    sb = scenes.chain(cfg, 3)
+    st = sb.build()
+    with pytest.raises(NotImplementedError):
+        step(st, cfg)
