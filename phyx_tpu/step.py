@@ -150,14 +150,18 @@ def step(state: State, cfg: SimConfig) -> State:
     return State(bodies=bodies, joints=joints_out, cache=cache, stats=stats)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n"))
+def _rollout_impl(state: State, cfg: SimConfig, n: int) -> State:
+    def body(s, _):
+        return step(s, cfg), None
+    out, _ = jax.lax.scan(body, state, None, length=n)
+    return out
+
+
 def rollout(state: State, cfg: SimConfig, num_steps: int) -> State:
-    """num_steps frames under one jit via lax.scan (no per-step dispatch)."""
+    """num_steps frames under one jit via lax.scan (no per-step dispatch).
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "n"))
-    def _run(state, cfg, n):
-        def body(s, _):
-            return step(s, cfg), None
-        out, _ = jax.lax.scan(body, state, None, length=n)
-        return out
-
-    return _run(state, cfg, num_steps)
+    The jitted callable is module-level so repeat calls with the same
+    (cfg, num_steps) skip retracing — defining the jit inside this function
+    would re-trace per call and cost ~0.5 s of host time each time."""
+    return _rollout_impl(state, cfg, num_steps)
