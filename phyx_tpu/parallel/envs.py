@@ -1,16 +1,29 @@
 """Batch-sharded independent scenes: the data-parallel axis.
 
-The RL-style rollout config (BASELINE.json:11: 4096 envs × 256 bodies) maps
-each env to a vmap lane and shards the env axis across the device mesh.
-XLA inserts no collectives at all inside the step (envs are independent);
-the mesh only partitions work — the ideal weak-scaling case.
+The RL-style rollout config (BASELINE.json:11: 4096 envs × 256 bodies) has
+two TPU-native realizations:
+
+* ``concat_envs`` — the preferred single-chip form: envs are CONCATENATED
+  into one mega-scene, each env shifted to its own disjoint x-band.  The
+  physics is block-diagonal by construction (AABBs of different envs can
+  never overlap), so one ``step`` call advances every env with zero
+  batching machinery, and the broadphase/solver see one large scene —
+  exactly the regime the kernels are optimized for.  O(1) compiled
+  programs regardless of env count.
+
+* ``make_env_batch`` / ``sharded_env_step`` — vmap over a leading env axis,
+  sharded over a device mesh for multi-chip scale-out.  XLA inserts no
+  collectives inside the step (envs are independent); the mesh only
+  partitions work — the ideal weak-scaling case.  (vmap currently requires
+  the XLA solver backend; the SMEM kernels don't auto-batch.)
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import List, Optional, Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -18,6 +31,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from phyx_tpu.config import SimConfig
 from phyx_tpu.step import step
 from phyx_tpu.types import State
+from phyx_tpu.world import SceneBuilder
+
+
+def concat_envs(builders: Sequence[SceneBuilder], cfg: SimConfig,
+                band_width: float = 1.0e4):
+    """Merge per-env SceneBuilders into one mega SceneBuilder.
+
+    Env ``e`` is translated by ``(e - E/2) * band_width`` in x; with
+    ``band_width`` larger than any env's extent the broadphase can never
+    pair bodies across envs.  Returns ``(mega_builder, env_slices,
+    offsets)`` where ``env_slices[e]`` indexes env e's bodies in the mega
+    body arrays and ``offsets[e]`` is its (x, y) translation (subtract to
+    recover env-local positions).
+    """
+    mega = SceneBuilder(cfg)
+    slices: List[slice] = []
+    offsets = np.zeros((len(builders), 2), np.float32)
+    e0 = len(builders) / 2.0
+    for e, sb in enumerate(builders):
+        dx = (e - e0) * band_width
+        offsets[e, 0] = dx
+        start = mega.num_bodies
+        for r in sb._rows:
+            mega._rows.append({**r, "pos": r["pos"] + np.array([dx, 0.0])})
+        for j in sb._joints:
+            mega._joints.append({**j, "b1": j["b1"] + start,
+                                 "b2": j["b2"] + start})
+        slices.append(slice(start, mega.num_bodies))
+    return mega, slices, offsets
+
+
+def env_positions(state: State, env_slices, offsets) -> List[np.ndarray]:
+    """Per-env local positions from a mega-scene state (forces one sync)."""
+    pos = np.asarray(state.bodies.pos)
+    return [pos[s] - offsets[e] for e, s in enumerate(env_slices)]
 
 
 def make_env_batch(states, mesh: Optional[Mesh] = None,

@@ -21,13 +21,14 @@ def _ground(sb: SceneBuilder, half_width: float = 1e4):
 
 
 def pile(cfg: SimConfig, num_boxes: int, seed: int = 0,
-         box_half: float = 0.5, jitter: float = 0.1) -> SceneBuilder:
+         box_half: float = 0.5, jitter: float = 0.1,
+         ground_half: float = 1e4) -> SceneBuilder:
     """Stacked-box pile on a ground plane — the reference's default demo
     (BASELINE.json:7/8).  Boxes arranged in a near-square grid of columns
     with per-box jitter so the pile settles into contact-rich disorder."""
     rng = np.random.default_rng(seed)
     sb = SceneBuilder(cfg)
-    _ground(sb)
+    _ground(sb, ground_half)
     cols = max(1, int(math.sqrt(num_boxes * 2)))
     spacing = box_half * 2.05
     placed = 0
