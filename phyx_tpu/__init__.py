@@ -18,12 +18,25 @@ Architecture (SURVEY.md §7):
     ("displacement") passes.  phyx's conflict-free SIMD batches become
     graph-colored Gauss-Seidel sweeps; coloring runs fully on device
     (parallel Luby-style maximal-independent-set rounds).
+  - User joints (revolute/distance) ride the same kernels as extra
+    constraint rows with warm starting (joints.py).
   - The whole ``Scene::Update`` equivalent is one jitted ``step`` with zero
-    host round-trips, vmappable over batched scenes.
+    host round-trips; multi-env batches run as one block-diagonal
+    mega-scene (parallel/envs.py).
+  - The hot path is three Pallas kernels: sweep&prune pair emission,
+    row gathers, and the fused serial Gauss-Seidel contact+joint solver
+    (all-SMEM variant, plus an HBM-streaming variant for large scenes).
 """
 
 from phyx_tpu.config import SimConfig
+from phyx_tpu.joints import Joints
 from phyx_tpu.types import Bodies, ContactCache, State, SolverStats
+from phyx_tpu.world import SceneBuilder, World
+
+# NOTE: the step/rollout FUNCTIONS live in phyx_tpu.step; exporting them
+# here would shadow the submodule attribute (`import phyx_tpu.step as m`
+# would bind the function).  Import them as:
+#   from phyx_tpu.step import step, rollout
 
 __version__ = "0.1.0"
 
@@ -31,6 +44,9 @@ __all__ = [
     "SimConfig",
     "Bodies",
     "ContactCache",
+    "Joints",
     "State",
     "SolverStats",
+    "SceneBuilder",
+    "World",
 ]

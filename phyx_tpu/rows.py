@@ -1,20 +1,19 @@
-"""Row-gather indirection: XLA indexing on CPU, Pallas kernel on TPU.
+"""Row-gather indirection.
 
-XLA lowers `table[idx]` on TPU to a serial per-row loop (~20-40 ns/row,
-measured — benches/micro_scatter.py); the Pallas scalar-loop gather runs at
-~2 ns/row.  Every per-pair / per-contact body-state gather in the pipeline
-goes through this helper so the backend choice is one config knob.
+Measured on the real chip with fenced timings (benches/profile_prefix
+protocol): XLA's native gather beats the serial Pallas scalar-loop gather
+(kernels/gather.py) by ~8 ms/step at 10k boxes — XLA's row gather is not
+the bottleneck it appeared to be under broken (early-returning)
+block_until_ready timings.  All per-pair / per-contact body-state gathers
+go through this helper so the choice stays one knob.
 """
 
 from __future__ import annotations
 
 import jax
 
-from phyx_tpu.kernels.gather import gather_rows
-
 
 def take_rows(table: jax.Array, idx: jax.Array, pallas: bool) -> jax.Array:
     """table (N, F), idx (K,) int32 (pre-clamped) -> (K, F)."""
-    if pallas:
-        return gather_rows(table, idx)
+    del pallas  # XLA native gather measured faster on TPU; kept for API
     return table[idx]

@@ -59,7 +59,7 @@ def exclude_joint_pairs(pairs, joints):
     (collide-connected = false, matching standard engine semantics): the
     contact constraints would fight the joint and jitter the chain."""
     from phyx_tpu.broadphase import EMPTY, Pairs
-    from phyx_tpu.cache import lex_searchsorted
+    from phyx_tpu.cache import lex_join
 
     ja = jnp.minimum(joints.b1, joints.b2)
     jb = jnp.maximum(joints.b1, joints.b2)
@@ -67,10 +67,7 @@ def exclude_joint_pairs(pairs, joints):
     ja = jnp.where(live, ja, EMPTY)
     jb = jnp.where(live, jb, EMPTY)
     ja, jb = jax.lax.sort((ja, jb), num_keys=2)
-    pos = lex_searchsorted(ja, jb, pairs.pi, pairs.pj)
-    posc = jnp.minimum(pos, ja.shape[0] - 1)
-    hit = (ja[posc] == pairs.pi) & (jb[posc] == pairs.pj) \
-        & (pairs.pi != EMPTY)
+    _, hit = lex_join(ja, jb, pairs.pi, pairs.pj)
     pi = jnp.where(hit, EMPTY, pairs.pi)
     pj = jnp.where(hit, EMPTY, pairs.pj)
     pi, pj = jax.lax.sort((pi, pj), num_keys=2)
@@ -123,10 +120,20 @@ def step(state: State, cfg: SimConfig) -> State:
             from phyx_tpu.joints import prepare_joint_rows
             joint_rows, joint_warm = prepare_joint_rows(
                 bodies, state.joints, cfg)
+        # Compact live contacts to the front (stable, so the sweep order of
+        # valid rows is unchanged): the serial kernel then visits only live
+        # rows — SAT rejects ~30% of candidate slots in dense piles, and
+        # each dead slot would still cost a full sweep body.
+        order = jnp.argsort(jnp.logical_not(contacts.valid))
+        compacted = jax.tree.map(lambda x: x[order], contacts)
+        num_live = contacts.valid.sum(dtype=jnp.int32)
         bodies, accum_n, accum_t, residual, joint_accum = solver.solve_pallas(
-            bodies, contacts, 2 * pairs.num, cfg, streamed=streamed,
+            bodies, compacted, num_live, cfg, streamed=streamed,
             joints=state.joints if j_cap else None,
             joint_rows=joint_rows, joint_warm=joint_warm)
+        inv = jnp.argsort(order)
+        accum_n = accum_n[inv]
+        accum_t = accum_t[inv]
         if j_cap:
             joints_out = state.joints.replace(accum=joint_accum)
     else:
