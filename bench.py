@@ -36,6 +36,27 @@ from phyx_tpu.step import rollout
 NORTH_STAR_STEPS_PER_SEC = 1000.0
 
 
+def build_envs(num_envs: int, boxes_per_env: int, backend: str):
+    """Config E (BASELINE.json:11): independent scenes as one block-diagonal
+    mega-scene (parallel/envs.py)."""
+    from phyx_tpu.parallel.envs import concat_envs
+    total = num_envs * (boxes_per_env + 1) + 8
+    cap = 1
+    while cap < total:
+        cap *= 2
+    cfg = SimConfig(
+        max_bodies=cap,
+        max_pairs=max(1024, (num_envs * boxes_per_env * 4 + 511) // 512 * 512),
+        broadphase="sap",
+        sap_window=96,
+        solver_backend=backend,
+    )
+    builders = [scenes.pile(cfg, boxes_per_env, seed=s, ground_half=200.0)
+                for s in range(num_envs)]
+    mega, _, _ = concat_envs(builders, cfg, band_width=1000.0)
+    return cfg, mega.build()
+
+
 def build(scene: str, boxes: int, backend: str):
     cap = 1
     while cap < boxes + 8:
@@ -70,11 +91,17 @@ def main():
                     help="pre-measurement frames so the pile reaches its "
                          "settled, contact-rich state")
     ap.add_argument("--scene", default="pile",
-                    choices=["pile", "avalanche", "chain", "bridge", "net"])
+                    choices=["pile", "avalanche", "chain", "bridge", "net",
+                             "envs"])
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--envs", type=int, default=64,
+                    help="env count for --scene envs (boxes = per-env size)")
     args = ap.parse_args()
 
-    cfg, st = build(args.scene, args.boxes, args.backend)
+    if args.scene == "envs":
+        cfg, st = build_envs(args.envs, args.boxes, args.backend)
+    else:
+        cfg, st = build(args.scene, args.boxes, args.backend)
 
     def fence(s):
         # jax.block_until_ready can return before remote execution finishes
@@ -110,10 +137,18 @@ def main():
     ncontacts = int(st.stats.num_contacts)
     pair_iters = steps_per_sec * ncontacts * cfg.velocity_iterations
 
+    if args.scene == "envs":
+        metric = (f"env-steps/sec @ {args.envs} envs x {args.boxes} boxes")
+        value = round(steps_per_sec * args.envs, 2)
+        unit = "env-steps/sec"
+    else:
+        metric = f"steps/sec @ {args.boxes}-box {args.scene}"
+        value = round(steps_per_sec, 2)
+        unit = "steps/sec"
     print(json.dumps({
-        "metric": f"steps/sec @ {args.boxes}-box {args.scene}",
-        "value": round(steps_per_sec, 2),
-        "unit": "steps/sec",
+        "metric": metric,
+        "value": value,
+        "unit": unit,
         "vs_baseline": round(steps_per_sec / NORTH_STAR_STEPS_PER_SEC, 4),
         "extra": {
             "contacts": ncontacts,

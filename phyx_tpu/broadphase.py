@@ -57,24 +57,33 @@ def compute_aabbs(bodies: Bodies):
 
 def _finish(pi, pj, valid, overflow, max_pairs):
     """Compact candidate (pi, pj, valid) of any shape into a lex-sorted
-    fixed buffer of size max_pairs."""
+    fixed buffer of size max_pairs.
+
+    For small candidate grids a lex sort of the whole grid suffices; big
+    grids (window * 100k bodies) first compact the valid entries with a
+    size-bounded nonzero (cumsum + gather), then sort only max_pairs
+    entries — the full-grid sort would dominate the step at 100k."""
     pi = pi.reshape(-1).astype(jnp.int32)
     pj = pj.reshape(-1).astype(jnp.int32)
     valid = valid.reshape(-1)
 
     pi = jnp.where(valid, pi, EMPTY)
     pj = jnp.where(valid, pj, EMPTY)
-
     num = valid.sum(dtype=jnp.int32)
-    # Lexicographic sort by (pi, pj); EMPTY slots sort to the end.
-    pi_s, pj_s = jax.lax.sort((pi, pj), num_keys=2)
-    # Keep the first max_pairs entries.
-    pi_out = jax.lax.dynamic_slice_in_dim(pi_s, 0, max_pairs) \
-        if pi_s.shape[0] >= max_pairs else jnp.pad(
-            pi_s, (0, max_pairs - pi_s.shape[0]), constant_values=EMPTY)
-    pj_out = jax.lax.dynamic_slice_in_dim(pj_s, 0, max_pairs) \
-        if pj_s.shape[0] >= max_pairs else jnp.pad(
-            pj_s, (0, max_pairs - pj_s.shape[0]), constant_values=EMPTY)
+
+    if pi.shape[0] > 4 * max_pairs:
+        (idx,) = jnp.nonzero(valid, size=max_pairs, fill_value=pi.shape[0] - 1)
+        cand_i = jnp.where(jnp.arange(max_pairs) < num, pi[idx], EMPTY)
+        cand_j = jnp.where(jnp.arange(max_pairs) < num, pj[idx], EMPTY)
+        pi_out, pj_out = jax.lax.sort((cand_i, cand_j), num_keys=2)
+    else:
+        pi_s, pj_s = jax.lax.sort((pi, pj), num_keys=2)
+        pi_out = jax.lax.dynamic_slice_in_dim(pi_s, 0, max_pairs) \
+            if pi_s.shape[0] >= max_pairs else jnp.pad(
+                pi_s, (0, max_pairs - pi_s.shape[0]), constant_values=EMPTY)
+        pj_out = jax.lax.dynamic_slice_in_dim(pj_s, 0, max_pairs) \
+            if pj_s.shape[0] >= max_pairs else jnp.pad(
+                pj_s, (0, max_pairs - pj_s.shape[0]), constant_values=EMPTY)
     dropped = jnp.maximum(num - max_pairs, 0)
     return Pairs(
         pi=pi_out,
@@ -214,6 +223,75 @@ def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
     return Pairs(pi=pi_s, pj=pj_s, valid=pi_s != EMPTY, num=num, overflow=ovf)
 
 
+def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
+    """Sweep & prune for scenes beyond the plain kernel's SMEM envelope:
+    x-sorted AABB windows are DMA'd per slab and pairs stream to HBM
+    (kernels/sweep.py sweep_emit_tiled).  Long bodies use the dense lane
+    (same as the windowed sweep) since a slab window cannot span them."""
+    from phyx_tpu.kernels.sweep import sweep_emit_tiled
+
+    n = bodies.capacity
+    k_long = min(cfg.sap_long_k, n)
+    lo, hi = compute_aabbs(bodies)
+    dynamic = bodies.inv_mass > 0.0
+
+    # --- long-object dense lane (top-K by x extent vs all bodies) ---
+    extent_x = jnp.where(bodies.active, hi[:, 0] - lo[:, 0], -jnp.inf)
+    _, long_idx = jax.lax.top_k(extent_x, k_long)
+    long_idx = long_idx.astype(jnp.int32)
+    is_long = jnp.zeros((n,), bool).at[long_idx].set(True) & bodies.active
+    long_rank = jnp.full((n,), -1, jnp.int32).at[long_idx].set(
+        jnp.arange(k_long, dtype=jnp.int32))
+    jdx = jnp.arange(n, dtype=jnp.int32)
+    l_lo, l_hi = lo[long_idx], hi[long_idx]
+    l_act = bodies.active[long_idx] & is_long[long_idx]
+    l_dyn = dynamic[long_idx]
+    dox = (l_lo[:, None, 0] <= hi[None, :, 0]) & (lo[None, :, 0] <= l_hi[:, None, 0])
+    doy = (l_lo[:, None, 1] <= hi[None, :, 1]) & (lo[None, :, 1] <= l_hi[:, None, 1])
+    dact = l_act[:, None] & bodies.active[None, :]
+    ddyn = l_dyn[:, None] | dynamic[None, :]
+    notself = long_idx[:, None] != jdx[None, :]
+    dedupe = (~is_long[None, :]) | (
+        long_rank[None, :] > jnp.arange(k_long, dtype=jnp.int32)[:, None])
+    d_valid = dox & doy & dact & ddyn & notself & dedupe
+    d_pi = jnp.minimum(long_idx[:, None], jdx[None, :])
+    d_pj = jnp.maximum(long_idx[:, None], jdx[None, :])
+
+    # --- tiled sweep over the regular bodies in x-sorted position space ---
+    sweep_act = bodies.active & ~is_long
+    keys = jnp.where(sweep_act, lo[:, 0], jnp.float32(jnp.inf))
+    order = jnp.argsort(keys).astype(jnp.int32)
+    nact = sweep_act.sum(dtype=jnp.int32)
+
+    K = -(-cfg.tile_stride // 1024) * 1024     # i32 DMA tiling
+    W = K + max(1024, -(-cfg.tile_halo // 1024) * 1024)
+    n_slabs = max(1, -(-n // K))
+    npad = (n_slabs - 1) * K + W
+    pad_iota = jnp.arange(npad, dtype=jnp.int32)
+    srcp = order[jnp.clip(pad_iota, 0, n - 1)]
+    in_n = pad_iota < n
+    aabb_rows = jnp.stack([lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1]], axis=1)
+    aabb_sorted = jnp.where(in_n[:, None], aabb_rows[srcp],
+                            jnp.float32(jnp.inf)).reshape(-1)
+    dyn_sorted = jnp.where(in_n, dynamic[srcp].astype(jnp.int32), 0)
+
+    mp = -(-cfg.max_pairs // 1024) * 1024
+    ppi, ppj, num_k, ovf = sweep_emit_tiled(
+        aabb_sorted, dyn_sorted, nact, mp, n_slabs, K, W)
+    slot = jnp.arange(mp, dtype=jnp.int32)
+    live = slot < num_k
+    # positions -> body ids
+    a = jnp.where(live, order[jnp.clip(ppi, 0, n - 1)], EMPTY)
+    b = jnp.where(live, order[jnp.clip(ppj, 0, n - 1)], EMPTY)
+    ki = jnp.minimum(a, b)
+    kj = jnp.maximum(a, b)
+
+    pi = jnp.concatenate([ki, d_pi.reshape(-1)])
+    pj = jnp.concatenate([kj, d_pj.reshape(-1)])
+    valid = jnp.concatenate([live, d_valid.reshape(-1)])
+    return _finish(pi, pj, valid, ovf, cfg.max_pairs)
+
+
 def _sweep_kernel_smem_bytes(n: int, max_pairs: int) -> int:
     """SMEM of sweep_emit: aabb (N*4 f32), order/dyn (N i32 each), nact,
     pi/pj (max_pairs i32 each) + counters."""
@@ -227,8 +305,9 @@ def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
         return broadphase_sap_kernel(bodies, cfg)
     if cfg.broadphase == "sap_window":
         return broadphase_sap(bodies, cfg)
-    if (cfg.solver_backend == "pallas"
-            and _sweep_kernel_smem_bytes(bodies.capacity, cfg.max_pairs)
-            <= 900 * 1024):
-        return broadphase_sap_kernel(bodies, cfg)
+    if cfg.solver_backend == "pallas":
+        if _sweep_kernel_smem_bytes(bodies.capacity, cfg.max_pairs) \
+                <= 900 * 1024:
+            return broadphase_sap_kernel(bodies, cfg)
+        return broadphase_sap_tiled(bodies, cfg)
     return broadphase_sap(bodies, cfg)

@@ -75,6 +75,18 @@ class SimConfig:
     # makes them Jacobi-like (still deterministic and stable).
     num_colors: int = 16
 
+    # --- tiled kernels (scenes whose body table exceeds SMEM, 100k+) ---
+    # Bodies are x-sorted and processed in slab windows of
+    # (tile_stride + tile_halo) rows; the halo must exceed the x-rank span
+    # of any dynamic-dynamic contact (violations are counted, clamped).
+    # Both must be multiples of 128 (the tiled sweep kernel internally
+    # rounds its window geometry up to 1024 for i32 DMA tiling).
+    # Note the solver's effective dynamic halo is tile_halo - 128: each
+    # solver window begins with a 128-row zero block serving as the
+    # static-partner landing pad.
+    tile_stride: int = 16384
+    tile_halo: int = 2048
+
     # --- solver backend ---
     # "xla"    : pure-XLA gather/scatter sweeps (always available, the
     #            correctness fallback per SURVEY.md §7.6)
@@ -88,6 +100,8 @@ class SimConfig:
             raise ValueError(f"unknown broadphase {self.broadphase!r}")
         if self.solver_backend not in ("xla", "pallas"):
             raise ValueError(f"unknown solver_backend {self.solver_backend!r}")
+        if self.tile_stride % 128 or self.tile_halo % 128:
+            raise ValueError("tile_stride/tile_halo must be multiples of 128")
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

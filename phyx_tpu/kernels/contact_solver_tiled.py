@@ -1,0 +1,408 @@
+"""Tiled contact solver: scenes whose BODY state exceeds SMEM (100k+).
+
+The streamed kernel (contact_solver_streamed.py) keeps the whole body
+table SMEM-resident (cap ~20k bodies).  This variant additionally tiles
+the body axis: bodies are pre-permuted into spatial (x-rank) order by the
+caller, so each SLAB of contacts touches only a contiguous window of body
+rows, which is DMA'd in and out around that slab's sweep.  This is the
+TPU-native form of domain decomposition (SURVEY.md §5.8): slabs are swept
+sequentially within every pass, so Gauss-Seidel ordering is preserved
+globally — the halo region of slab s is written back before slab s+1
+reads it.
+
+Caller contract (solver.solve_pallas_tiled):
+  * body rows permuted by x-rank; slab s's window = rows
+    [s*K, s*K + W) with K = slab stride, W = window (both multiples of
+    128 so the (rows*8) f32 DMA offsets hit the 1024-element tile).
+  * contacts sorted by slab, each slab's range padded to BLK-multiples
+    (dead slots are exact no-ops); slab ranges passed in block units.
+  * every contact's two bodies lie inside its slab's window (caller
+    counts violations and routes them to slab of min rank — with
+    W - K >= max contact span in rank space this cannot drop pairs;
+    the caller's overflow counter reports any clamped stragglers).
+  * static bodies (inv_mass = 0) are EXCLUDED from windows' write-back
+    correctness concerns: they are never written, so a long static body
+    (ground) may be referenced from any slab — its local index is clamped
+    into the window and its velocity reads as whatever row sits there,
+    which is safe ONLY because the caller rewrites static partners'
+    velocity contribution to zero... it does NOT.  Instead the caller
+    must place static bodies' rows INSIDE every window they are touched
+    from; since that is impossible for one global ground, the caller
+    instead remaps each contact's static partner to a per-slab REPLICA
+    row (see solver.py _tiled_static_replicas): replicas carry the static
+    body's (zero) velocity and inv masses and are appended inside each
+    window, so reads are exact and writes are no-ops that land in padding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phyx_tpu.kernels.contact_solver_streamed import BLK
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
+                  blocks_per_slab: int, window_rows: int, slab_stride: int):
+    """Pass p: 0 = warm start, 1..vel_iters = velocity, rest = position.
+    Global order: pass -> slab -> contact block (sequential GS)."""
+
+    n_passes = 1 + vel_iters + pos_iters
+
+    def kern(num_ref,                 # (n_slabs,) i32 SMEM live slots/slab
+             b1_hbm, b2_hbm, con_hbm, warm_hbm,   # ANY (HBM)
+             body_io_hbm, body_hbm, acc_hbm, res_ref,
+             win_ref, win_sem,        # SMEM window + DMA sem
+             b1_s, b2_s, con_s, warm_s, acc_s, sem_s, osem_s,
+             b1_t, b2_t, con_t, warm_t, acc_t, sem_t, osem_t):
+        del body_io_hbm
+        res_ref[0] = 0.0
+
+        set_a = (b1_s, b2_s, con_s, warm_s, acc_s, sem_s, osem_s)
+        set_b = (b1_t, b2_t, con_t, warm_t, acc_t, sem_t, osem_t)
+
+        def win_in(s):
+            off = pl.multiple_of(s * (slab_stride * 8), 1024)
+            return pltpu.make_async_copy(
+                body_hbm.at[pl.ds(off, window_rows * 8)], win_ref, win_sem)
+
+        def win_out(s):
+            off = pl.multiple_of(s * (slab_stride * 8), 1024)
+            return pltpu.make_async_copy(
+                win_ref, body_hbm.at[pl.ds(off, window_rows * 8)], win_sem)
+
+        def in_copies(bufs, blk):
+            b1r, b2r, conr, warmr, accr, sem, _ = bufs
+            off = pl.multiple_of(blk * BLK, BLK)
+            off12 = pl.multiple_of(blk * (BLK * 12), BLK)
+            off2 = pl.multiple_of(blk * (BLK * 2), BLK)
+            off3 = pl.multiple_of(blk * (BLK * 3), BLK)
+            return (
+                pltpu.make_async_copy(b1_hbm.at[pl.ds(off, BLK)], b1r,
+                                      sem.at[0]),
+                pltpu.make_async_copy(b2_hbm.at[pl.ds(off, BLK)], b2r,
+                                      sem.at[1]),
+                pltpu.make_async_copy(con_hbm.at[pl.ds(off12, BLK * 12)],
+                                      conr, sem.at[2]),
+                pltpu.make_async_copy(warm_hbm.at[pl.ds(off2, BLK * 2)],
+                                      warmr, sem.at[3]),
+                pltpu.make_async_copy(acc_hbm.at[pl.ds(off3, BLK * 3)],
+                                      accr, sem.at[4]),
+            )
+
+        def acc_out_copy(bufs, blk):
+            off3 = pl.multiple_of(blk * (BLK * 3), BLK)
+            return pltpu.make_async_copy(
+                bufs[4], acc_hbm.at[pl.ds(off3, BLK * 3)], bufs[6])
+
+        def start_block(bufs, blk):
+            for cp in in_copies(bufs, blk):
+                cp.start()
+
+        def wait_block(bufs, blk):
+            for cp in in_copies(bufs, blk):
+                cp.wait()
+
+        # --- per-contact sweeps; body indices are window-local ---
+
+        def warm_sweep(bufs, base):
+            b1r, b2r, conr, warmr, accr = bufs[:5]
+
+            def one(k, _):
+                cb = k * 12
+                nx = conr[cb]
+                ny = conr[cb + 1]
+                wn = warmr[k * 2]
+                wt = warmr[k * 2 + 1]
+                px = nx * wn - ny * wt
+                py = ny * wn + nx * wt
+                r1x = conr[cb + 2]
+                r1y = conr[cb + 3]
+                r2x = conr[cb + 4]
+                r2y = conr[cb + 5]
+                i = (b1r[k] - base) * 8
+                j = (b2r[k] - base) * 8
+                im1 = win_ref[i + 3]
+                ii1 = win_ref[i + 4]
+                im2 = win_ref[j + 3]
+                ii2 = win_ref[j + 4]
+                win_ref[i] = win_ref[i] - px * im1
+                win_ref[i + 1] = win_ref[i + 1] - py * im1
+                win_ref[i + 2] = win_ref[i + 2] - ii1 * (r1x * py - r1y * px)
+                win_ref[j] = win_ref[j] + px * im2
+                win_ref[j + 1] = win_ref[j + 1] + py * im2
+                win_ref[j + 2] = win_ref[j + 2] + ii2 * (r2x * py - r2y * px)
+                accr[k * 3] = wn
+                accr[k * 3 + 1] = wt
+                accr[k * 3 + 2] = 0.0
+                return 0
+            jax.lax.fori_loop(0, BLK, one, 0)
+
+        def vel_sweep(bufs, base, cnt):
+            b1r, b2r, conr, warmr, accr = bufs[:5]
+
+            def one(k, _):
+                cb = k * 12
+                nx = conr[cb]
+                ny = conr[cb + 1]
+                r1x = conr[cb + 2]
+                r1y = conr[cb + 3]
+                r2x = conr[cb + 4]
+                r2y = conr[cb + 5]
+                mn = conr[cb + 6]
+                mt = conr[cb + 7]
+                fr = conr[cb + 8]
+                dstv = conr[cb + 9]
+                i = (b1r[k] - base) * 8
+                j = (b2r[k] - base) * 8
+                im1 = win_ref[i + 3]
+                ii1 = win_ref[i + 4]
+                im2 = win_ref[j + 3]
+                ii2 = win_ref[j + 4]
+                vx1 = win_ref[i]
+                vy1 = win_ref[i + 1]
+                w1 = win_ref[i + 2]
+                vx2 = win_ref[j]
+                vy2 = win_ref[j + 1]
+                w2 = win_ref[j + 2]
+                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                vn = nx * dvx + ny * dvy
+                d = (dstv - vn) * mn
+                a = accr[k * 3]
+                na = jnp.maximum(a + d, 0.0)
+                d = na - a
+                accr[k * 3] = na
+                px = nx * d
+                py = ny * d
+                vx1 -= px * im1
+                vy1 -= py * im1
+                w1 -= ii1 * (r1x * py - r1y * px)
+                vx2 += px * im2
+                vy2 += py * im2
+                w2 += ii2 * (r2x * py - r2y * px)
+                res = jnp.abs(d)
+                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                vt = -ny * dvx + nx * dvy
+                d = -vt * mt
+                a = accr[k * 3 + 1]
+                mf = fr * na
+                ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
+                d = ta - a
+                accr[k * 3 + 1] = ta
+                px = -ny * d
+                py = nx * d
+                win_ref[i] = vx1 - px * im1
+                win_ref[i + 1] = vy1 - py * im1
+                win_ref[i + 2] = w1 - ii1 * (r1x * py - r1y * px)
+                win_ref[j] = vx2 + px * im2
+                win_ref[j + 1] = vy2 + py * im2
+                win_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
+                res_ref[0] = jnp.maximum(res_ref[0],
+                                         jnp.maximum(res, jnp.abs(d)))
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
+        def pos_sweep(bufs, base, cnt):
+            b1r, b2r, conr, warmr, accr = bufs[:5]
+
+            def one(k, _):
+                cb = k * 12
+                nx = conr[cb]
+                ny = conr[cb + 1]
+                r1x = conr[cb + 2]
+                r1y = conr[cb + 3]
+                r2x = conr[cb + 4]
+                r2y = conr[cb + 5]
+                mn = conr[cb + 6]
+                ddv = conr[cb + 10]
+                i = (b1r[k] - base) * 8
+                j = (b2r[k] - base) * 8
+                im1 = win_ref[i + 3]
+                ii1 = win_ref[i + 4]
+                im2 = win_ref[j + 3]
+                ii2 = win_ref[j + 4]
+                px1 = win_ref[i + 5]
+                py1 = win_ref[i + 6]
+                q1 = win_ref[i + 7]
+                px2 = win_ref[j + 5]
+                py2 = win_ref[j + 6]
+                q2 = win_ref[j + 7]
+                dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                vn = nx * dvx + ny * dvy
+                d = (ddv - vn) * mn
+                a = accr[k * 3 + 2]
+                na = jnp.maximum(a + d, 0.0)
+                d = na - a
+                accr[k * 3 + 2] = na
+                ix = nx * d
+                iy = ny * d
+                win_ref[i + 5] = px1 - ix * im1
+                win_ref[i + 6] = py1 - iy * im1
+                win_ref[i + 7] = q1 - ii1 * (r1x * iy - r1y * ix)
+                win_ref[j + 5] = px2 + ix * im2
+                win_ref[j + 6] = py2 + iy * im2
+                win_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
+        # --- orchestration: pass -> slab -> block; contact double-buffer
+        # across blocks, synchronous window DMA per (pass, slab) ---
+
+        def do_block(g, cur, nxt, p, s, bi):
+            """g = global block step index (for buffer hazard bookkeeping);
+            bi = block-within-slab; global block id = s*bps + bi."""
+            blk = s * blocks_per_slab + bi
+            base = s * slab_stride
+
+            @pl.when(g + 1 < total_blocks)
+            def _():
+                @pl.when(g >= 1)
+                def _():
+                    gp = g - 1
+                    acc_out_copy(nxt, _blk_of(gp)).wait()
+                start_block(nxt, _blk_of(g + 1))
+
+            wait_block(cur, blk)
+
+            @pl.when((blk == 0) & (p >= 1) & (p <= vel_iters))
+            def _():
+                res_ref[0] = 0.0
+
+            cnt = jnp.clip(num_ref[s] - bi * BLK, 0, BLK)
+            kind = jnp.where(p == 0, 0, jnp.where(p <= vel_iters, 1, 2))
+            jax.lax.switch(kind, [
+                lambda: warm_sweep(cur, base),
+                lambda: vel_sweep(cur, base, cnt),
+                lambda: pos_sweep(cur, base, cnt),
+            ])
+
+            acc_out_copy(cur, blk).start()
+
+        total_per_pass = n_slabs * blocks_per_slab
+        total_blocks = n_passes * total_per_pass
+
+        def _blk_of(g):
+            return jax.lax.rem(g, total_per_pass)
+
+        def _slab_of(g):
+            return _blk_of(g) // blocks_per_slab
+
+        def _bi_of(g):
+            return jax.lax.rem(_blk_of(g), blocks_per_slab)
+
+        def _pass_of(g):
+            return g // total_per_pass
+
+        # window handling at slab boundaries: when bi == 0, flush the
+        # previous window and load this slab's window BEFORE sweeping.
+        def maybe_window(g):
+            s = _slab_of(g)
+            bi = _bi_of(g)
+
+            @pl.when(bi == 0)
+            def _():
+                @pl.when(g > 0)
+                def _():
+                    prev = g - 1
+                    cpo = win_out(_slab_of(prev))
+                    cpo.start()
+                    cpo.wait()
+                cpi = win_in(s)
+                cpi.start()
+                cpi.wait()
+
+        start_block(set_a, jnp.int32(0))
+
+        def g2step(h, _):
+            g = 2 * h
+            maybe_window(g)
+            do_block(g, set_a, set_b, _pass_of(g), _slab_of(g), _bi_of(g))
+
+            @pl.when(g + 1 < total_blocks)
+            def _():
+                g1 = g + 1
+                maybe_window(g1)
+                do_block(g1, set_b, set_a, _pass_of(g1), _slab_of(g1),
+                         _bi_of(g1))
+            return 0
+
+        jax.lax.fori_loop(0, (total_blocks + 1) // 2, g2step, 0)
+        last = total_blocks - 1
+        prev = total_blocks - 2
+        acc_out_copy(set_a if prev % 2 == 0 else set_b,
+                     _blk_of(jnp.int32(prev))).wait()
+        acc_out_copy(set_a if last % 2 == 0 else set_b,
+                     _blk_of(jnp.int32(last))).wait()
+        cpo = win_out(_slab_of(jnp.int32(last)))
+        cpo.start()
+        cpo.wait()
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters",
+                                             "n_slabs", "slab_stride",
+                                             "window_rows"))
+def solve_contacts_tiled(
+    body_flat: jax.Array,    # (Npad*8,) f32, x-rank permuted, Npad mult 128
+    b1: jax.Array,           # (C,) int32 rank-space, slab-sorted+padded
+    b2: jax.Array,           # (C,) int32
+    con_flat: jax.Array,     # (C*12,) f32
+    warm_flat: jax.Array,    # (C*2,) f32
+    slab_counts: jax.Array,  # (n_slabs,) int32 live slots per slab
+    vel_iters: int,
+    pos_iters: int,
+    n_slabs: int,
+    slab_stride: int,        # rows between slab window starts (mult 128)
+    window_rows: int,        # rows per window (mult 128)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (body_flat', acc (C*3,), residual (1,))."""
+    c_cap = b1.shape[0]
+    assert c_cap % (n_slabs * BLK) == 0
+    blocks_per_slab = c_cap // (n_slabs * BLK)
+    npad = body_flat.shape[0] // 8
+    assert (n_slabs - 1) * slab_stride + window_rows <= npad
+    kern = _tiled_kernel(vel_iters, pos_iters, n_slabs, blocks_per_slab,
+                         window_rows, slab_stride)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    def bufset():
+        return [
+            pltpu.SMEM((BLK,), jnp.int32),
+            pltpu.SMEM((BLK,), jnp.int32),
+            pltpu.SMEM((BLK * 12,), jnp.float32),
+            pltpu.SMEM((BLK * 2,), jnp.float32),
+            pltpu.SMEM((BLK * 3,), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+
+    body_out, acc, res = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((npad * 8,), jnp.float32),
+            jax.ShapeDtypeStruct((c_cap * 3,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
+        in_specs=[smem, anyspec, anyspec, anyspec, anyspec, anyspec],
+        out_specs=(anyspec, anyspec, smem),
+        input_output_aliases={5: 0},
+        scratch_shapes=([pltpu.SMEM((window_rows * 8,), jnp.float32),
+                         pltpu.SemaphoreType.DMA]
+                        + bufset() + bufset()),
+        interpret=_use_interpret(),
+    )(slab_counts.astype(jnp.int32), b1, b2, con_flat, warm_flat, body_flat)
+    return body_out, acc, res

@@ -106,3 +106,154 @@ def sweep_emit(aabb_flat: jax.Array,   # (N*4,) f32 [lox, loy, hix, hiy]
     )(jnp.reshape(nact.astype(jnp.int32), (1,)), order.astype(jnp.int32),
       aabb_flat, dyn.astype(jnp.int32))
     return pi, pj, cnt[0], ovf[0]
+
+
+@functools.partial(jax.jit, static_argnames=("max_pairs", "n_slabs",
+                                             "slab_stride", "window_rows"))
+def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
+                     dyn_sorted: jax.Array,   # (Npad,) i32
+                     nact: jax.Array,         # () i32 active body count
+                     max_pairs: int,
+                     n_slabs: int,
+                     slab_stride: int,        # mult of 256 (f32 DMA tile/4)
+                     window_rows: int,        # mult of 256
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sweep & prune over x-sorted AABBs with slab-windowed SMEM residency
+    and HBM pair emission through an SMEM staging buffer.
+
+    Unlike sweep_emit, nothing scales with N in SMEM: the AABB/dyn windows
+    are DMA'd per slab and emitted (i, j) pairs are SORTED POSITIONS
+    (caller converts to body ids via its sort order).  A sweep that is
+    still x-open at the window end increments the missed counter, exactly
+    like the windowed XLA sweep's truncation accounting.
+
+    Returns (pi, pj, num, overflow) with positions, EMPTY beyond num.
+    """
+    npad = dyn_sorted.shape[0]
+    assert npad >= (n_slabs - 1) * slab_stride + window_rows
+    # i32 1D DMA tiling: strides, window and pair buffer all 1024-aligned
+    assert slab_stride % 1024 == 0 and window_rows % 1024 == 0
+    assert max_pairs % 1024 == 0
+    STAGE = 1024   # staging pairs; flush granularity (i32 DMA tile)
+
+    def kern(nact_ref, aabb_hbm, dyn_hbm, pi_hbm, pj_hbm, cnt_ref, ovf_ref,
+             aabb_s, dyn_s, win_sem, pi_st, pj_st, st_sem):
+        na = nact_ref[0]
+
+        def flush(cnt, fill):
+            """DMA the staging buffer to HBM at pair offset cnt (aligned)."""
+            blk = cnt // STAGE
+            off = pl.multiple_of(blk * STAGE, STAGE)
+            cp1 = pltpu.make_async_copy(
+                pi_st, pi_hbm.at[pl.ds(off, STAGE)], st_sem.at[0])
+            cp2 = pltpu.make_async_copy(
+                pj_st, pj_hbm.at[pl.ds(off, STAGE)], st_sem.at[1])
+            cp1.start(); cp2.start()
+            cp1.wait(); cp2.wait()
+
+        def slab_body(s, carry):
+            cnt, ovf = carry
+            base = s * slab_stride
+            cpa = pltpu.make_async_copy(
+                aabb_hbm.at[pl.ds(pl.multiple_of(base * 4, 1024),
+                                  window_rows * 4)], aabb_s, win_sem)
+            cpa.start(); cpa.wait()
+            cpd = pltpu.make_async_copy(
+                dyn_hbm.at[pl.ds(pl.multiple_of(base, 1024), window_rows)],
+                dyn_s, win_sem)
+            cpd.start(); cpd.wait()
+
+            k_hi = jnp.minimum(slab_stride, na - base)
+
+            def outer(k, carry):
+                cnt, ovf = carry
+                hix = aabb_s[k * 4 + 2]
+                loy = aabb_s[k * 4 + 1]
+                hiy = aabb_s[k * 4 + 3]
+                di = dyn_s[k]
+
+                def cond(state):
+                    j, cnt, ovf = state
+                    in_rng = jnp.logical_and(j < window_rows,
+                                             base + j < na)
+                    return jnp.logical_and(in_rng, aabb_s[j * 4] <= hix)
+
+                def body(state):
+                    j, cnt, ovf = state
+                    ok = jnp.logical_and(
+                        jnp.logical_and(aabb_s[j * 4 + 1] <= hiy,
+                                        loy <= aabb_s[j * 4 + 3]),
+                        (di + dyn_s[j]) > 0)
+                    fits = jnp.logical_and(ok, cnt < max_pairs)
+
+                    @pl.when(fits)
+                    def _():
+                        slot = jax.lax.rem(cnt, STAGE)
+                        pi_st[slot] = base + k
+                        pj_st[slot] = base + j
+
+                    new_cnt = cnt + jnp.where(fits, 1, 0)
+
+                    @pl.when(jnp.logical_and(fits,
+                                             jax.lax.rem(new_cnt, STAGE) == 0))
+                    def _():
+                        flush(cnt, STAGE)
+
+                    ovf = ovf + jnp.where(jnp.logical_and(ok, ~fits), 1, 0)
+                    return j + 1, new_cnt, ovf
+
+                j, cnt, ovf = jax.lax.while_loop(cond, body,
+                                                 (k + 1, cnt, ovf))
+                # window truncation: interval still open at window end
+                still_open = jnp.logical_and(
+                    j >= window_rows,
+                    jnp.logical_and(base + j < na,
+                                    aabb_s[(window_rows - 1) * 4] <= hix))
+                ovf = ovf + jnp.where(still_open, 1, 0)
+                return cnt, ovf
+
+            return jax.lax.fori_loop(0, jnp.maximum(k_hi, 0), outer,
+                                     (cnt, ovf))
+
+        cnt, ovf = jax.lax.fori_loop(0, n_slabs, slab_body,
+                                     (jnp.int32(0), jnp.int32(0)))
+
+        # pad the tail of the final staging block with EMPTY, flush it
+        def pad(k, _):
+            @pl.when(k >= jax.lax.rem(cnt, STAGE))
+            def _():
+                pi_st[k] = EMPTY
+                pj_st[k] = EMPTY
+            return 0
+        jax.lax.fori_loop(0, STAGE, pad, 0)
+
+        @pl.when(jax.lax.rem(cnt, STAGE) > 0)
+        def _():
+            flush(cnt - jax.lax.rem(cnt, STAGE) + STAGE - 1, 0)
+
+        cnt_ref[0] = cnt
+        ovf_ref[0] = ovf
+
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pi, pj, cnt, ovf = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((max_pairs,), jnp.int32),
+            jax.ShapeDtypeStruct((max_pairs,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[smem, anyspec, anyspec],
+        out_specs=(anyspec, anyspec, smem, smem),
+        scratch_shapes=[
+            pltpu.SMEM((window_rows * 4,), jnp.float32),
+            pltpu.SMEM((window_rows,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((STAGE,), jnp.int32),
+            pltpu.SMEM((STAGE,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_use_interpret(),
+    )(jnp.reshape(nact.astype(jnp.int32), (1,)), aabb_sorted, dyn_sorted)
+    return pi, pj, cnt[0], ovf[0]

@@ -260,6 +260,141 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
     return bodies, acc[:c, 0], acc[:c, 1], res[0], joint_accum
 
 
+def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
+                       order: jax.Array, cfg: SimConfig
+                       ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array,
+                                  jax.Array]:
+    """Tiled solve for scenes whose body table exceeds SMEM (100k+).
+
+    ``order`` is the x-sort permutation (rank r -> body id), normally the
+    broadphase's sort.  Bodies are embedded into a slab layout where each
+    slab window starts with a 128-row zero block: contacts' STATIC partners
+    are remapped to that zero row (exact — static bodies read zero velocity
+    and zero inverse masses, and writes through zero inverse mass are
+    no-ops), so a scene-wide ground never forces a giant window.  Dynamic
+    partners must fall inside their contact's slab window (halo
+    ``cfg.tile_halo`` ranks); violations are clamped and counted in the
+    returned overflow.
+
+    Returns (bodies', accum_n, accum_t, residual, tiled_overflow).
+    """
+    from phyx_tpu.kernels.contact_solver_streamed import BLK
+    from phyx_tpu.kernels.contact_solver_tiled import solve_contacts_tiled
+
+    n = bodies.capacity
+    c = contacts.valid.shape[0]
+    K = cfg.tile_stride                 # rows per slab stride (mult 128)
+    H = cfg.tile_halo                   # extra halo rows (mult 128)
+    W = K + H
+    rps = K - 128                       # real bodies per slab stride
+    n_slabs = -(-n // rps)
+    npad = n_slabs * K + H
+
+    # rank of each body id (inverse of order)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    # embedded row of rank r: slab zero-block layout
+    def pos_of_rank(r):
+        return (r // rps) * K + 128 + r % rps
+    pos = pos_of_rank(rank)             # id -> embedded row
+
+    # embedded body table: pure gather (src id per embedded row, or zero)
+    p_iota = jnp.arange(npad, dtype=jnp.int32)
+    off = p_iota % K
+    r_src = (p_iota // K) * rps + (off - 128)
+    row_valid = (off >= 128) & (r_src < n) & (p_iota < n_slabs * K)
+    src = order[jnp.clip(r_src, 0, n - 1)]
+    body_rows = jnp.concatenate([
+        bodies.vel,
+        bodies.angvel[:, None],
+        bodies.inv_mass[:, None],
+        bodies.inv_inertia[:, None],
+        jnp.zeros((n, 3), jnp.float32),
+    ], axis=1)                           # (N, 8)
+    embedded = jnp.where(row_valid[:, None], body_rows[src], 0.0)
+
+    # contact routing
+    b1p = pos[contacts.b1]
+    b2p = pos[contacts.b2]
+    st1 = bodies.inv_mass[contacts.b1] == 0.0
+    st2 = bodies.inv_mass[contacts.b2] == 0.0
+    dyn_min = jnp.where(st1, b2p, jnp.where(st2, b1p, jnp.minimum(b1p, b2p)))
+    slab = jnp.clip(dyn_min // K, 0, n_slabs - 1)
+    zero_row = slab * K
+    lb1 = jnp.where(st1, zero_row, b1p)
+    lb2 = jnp.where(st2, zero_row, b2p)
+    lo, hi = slab * K, slab * K + W
+    in_win = (lb1 >= lo) & (lb1 < hi) & (lb2 >= lo) & (lb2 < hi)
+    tiled_overflow = (contacts.valid & ~in_win).sum(dtype=jnp.int32)
+    lb1 = jnp.clip(lb1, lo, hi - 1)
+    lb2 = jnp.clip(lb2, lo, hi - 1)
+    # dead slots: park on the zero row (exact no-ops), sort to the END and
+    # keep them out of the slab capacity accounting
+    live = contacts.valid
+    lb1 = jnp.where(live, lb1, zero_row)
+    lb2 = jnp.where(live, lb2, zero_row)
+
+    # slab-sorted padded layout, built with gathers only
+    bps = -(-(2 * c // n_slabs) // BLK)          # blocks per slab (2x avg)
+    cap_slots = bps * BLK
+    skey = jnp.where(live, slab, n_slabs)         # dead last
+    order2 = jnp.argsort(skey)                    # stable: keeps sweep order
+    counts = jnp.zeros((n_slabs,), jnp.int32).at[slab].add(
+        live.astype(jnp.int32))
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    c_tiled = n_slabs * cap_slots
+    q = jnp.arange(c_tiled, dtype=jnp.int32)
+    qslab = q // cap_slots
+    within = q % cap_slots
+    slot_live = within < jnp.minimum(counts[qslab], cap_slots)
+    src_c = order2[jnp.clip(starts[qslab] + within, 0, c - 1)]
+    slab_overflow = jnp.maximum(counts - cap_slots, 0).sum()
+    tiled_overflow = tiled_overflow + slab_overflow
+
+    def g1(x):
+        taken = x[src_c]
+        return jnp.where(slot_live[:, None], taken, jnp.zeros_like(taken))
+
+    t_b1 = jnp.where(slot_live, lb1[src_c], qslab * K).astype(jnp.int32)
+    t_b2 = jnp.where(slot_live, lb2[src_c], qslab * K).astype(jnp.int32)
+    con12 = jnp.stack([
+        contacts.normal[:, 0], contacts.normal[:, 1],
+        contacts.r1[:, 0], contacts.r1[:, 1],
+        contacts.r2[:, 0], contacts.r2[:, 1],
+        contacts.mass_n, contacts.mass_t, contacts.friction,
+        contacts.dst_v, contacts.dst_dv,
+        jnp.zeros((c,), jnp.float32)], axis=1)
+    warm2 = jnp.stack([contacts.warm_n, contacts.warm_t], axis=1)
+    t_con = g1(con12).reshape(-1)
+    t_warm = g1(warm2).reshape(-1)
+    slab_counts = jnp.minimum(counts, cap_slots)
+
+    body_out, acc, res = solve_contacts_tiled(
+        embedded.reshape(-1), t_b1, t_b2, t_con, t_warm, slab_counts,
+        cfg.velocity_iterations, cfg.position_iterations,
+        n_slabs, K, W)
+
+    # un-embed bodies
+    body_out = body_out.reshape(npad, 8)
+    mine = body_out[pos]                          # (N, 8) per body id
+    bodies = bodies.replace(
+        vel=mine[:, 0:2], angvel=mine[:, 2],
+        dvel=mine[:, 5:7], dangvel=mine[:, 7])
+
+    # un-route accumulators: contact c sits at slot slab(c)*cap + within(c)
+    inv2 = jnp.zeros((c,), jnp.int32).at[order2].set(
+        jnp.arange(c, dtype=jnp.int32))
+    within_c = inv2 - starts[slab]
+    slot_c = jnp.clip(slab * cap_slots + within_c, 0, c_tiled - 1)
+    acc = acc.reshape(c_tiled, 3)
+    acc_c = acc[slot_c]
+    ok = within_c < cap_slots
+    accum_n = jnp.where(live & ok, acc_c[:, 0], 0.0)
+    accum_t = jnp.where(live & ok, acc_c[:, 1], 0.0)
+    return bodies, accum_n, accum_t, res[0], tiled_overflow
+
+
 def solve_position(bodies: Bodies, contacts: Contacts, cfg: SimConfig
                    ) -> Bodies:
     """Displacement iterations on pseudo-velocities — hot loop #2.

@@ -97,12 +97,16 @@ def step(state: State, cfg: SimConfig) -> State:
     j_cap = state.joints.capacity
     use_pallas = cfg.solver_backend == "pallas"
     streamed = False
+    tiled = False
     if use_pallas and solver.pallas_smem_bytes(
             bodies.capacity, c_cap + j_cap) > solver.PALLAS_SMEM_BUDGET:
         if (j_cap == 0 and c_cap % _BLK == 0 and c_cap >= 2 * _BLK
                 and solver.pallas_streamed_smem_bytes(bodies.capacity)
                 <= solver.PALLAS_SMEM_BUDGET):
             streamed = True
+        elif j_cap == 0 and c_cap % _BLK == 0 and c_cap >= 2 * _BLK:
+            # body table beyond SMEM too: x-sorted slab windows
+            tiled = True
         else:
             use_pallas = False
     if j_cap and not use_pallas:
@@ -127,10 +131,22 @@ def step(state: State, cfg: SimConfig) -> State:
         order = jnp.argsort(jnp.logical_not(contacts.valid))
         compacted = jax.tree.map(lambda x: x[order], contacts)
         num_live = contacts.valid.sum(dtype=jnp.int32)
-        bodies, accum_n, accum_t, residual, joint_accum = solver.solve_pallas(
-            bodies, compacted, num_live, cfg, streamed=streamed,
-            joints=state.joints if j_cap else None,
-            joint_rows=joint_rows, joint_warm=joint_warm)
+        if tiled:
+            from phyx_tpu.broadphase import compute_aabbs
+            lo, _ = compute_aabbs(bodies)
+            xkeys = jnp.where(bodies.active, lo[:, 0], jnp.float32(jnp.inf))
+            xorder = jnp.argsort(xkeys).astype(jnp.int32)
+            (bodies, accum_n, accum_t, residual,
+             tiled_ovf) = solver.solve_pallas_tiled(
+                bodies, compacted, xorder, cfg)
+            joint_accum = jnp.zeros((0, 2), jnp.float32)
+            pairs = pairs.replace(overflow=pairs.overflow + tiled_ovf)
+        else:
+            (bodies, accum_n, accum_t, residual,
+             joint_accum) = solver.solve_pallas(
+                bodies, compacted, num_live, cfg, streamed=streamed,
+                joints=state.joints if j_cap else None,
+                joint_rows=joint_rows, joint_warm=joint_warm)
         inv = jnp.argsort(order)
         accum_n = accum_n[inv]
         accum_t = accum_t[inv]

@@ -144,3 +144,24 @@ def test_sap_many_long_objects_exact():
     cfg = SimConfig(max_bodies=cap, max_pairs=4096, sap_window=48,
                     sap_long_k=8)
     assert got_pairs(broadphase_sap(b, cfg)) == brute_pairs(b, n_real)
+
+
+def test_sap_tiled_matches_brute():
+    """The tiled sweep (slab windows + HBM emission) must equal brute
+    force, including long-object and multi-slab coverage."""
+    from phyx_tpu.broadphase import broadphase_sap_tiled
+    bodies = random_bodies(500, 2048, seed=9, spread=120.0)
+    # one long static slab across everything
+    b = bodies
+    b = b.replace(
+        pos=b.pos.at[500].set((0.0, -5.0)),
+        rot=b.rot.at[500].set((1.0, 0.0)),
+        half_extent=b.half_extent.at[500].set((500.0, 1.0)),
+        inv_mass=b.inv_mass.at[500].set(0.0),
+        inv_inertia=b.inv_inertia.at[500].set(0.0),
+        active=b.active.at[500].set(True))
+    cfg = SimConfig(max_bodies=2048, max_pairs=8192,
+                    tile_stride=1024, tile_halo=1024,
+                    solver_backend="pallas")
+    pairs = broadphase_sap_tiled(b, cfg)
+    assert got_pairs(pairs) == brute_pairs(b, 501)
