@@ -93,7 +93,8 @@ def main():
     ap.add_argument("--scene", default="pile",
                     choices=["pile", "avalanche", "chain", "bridge", "net",
                              "envs"])
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--backend", default="pallas",
+                    choices=["xla", "pallas"])
     ap.add_argument("--envs", type=int, default=64,
                     help="env count for --scene envs (boxes = per-env size)")
     args = ap.parse_args()

@@ -5,16 +5,19 @@ One jitted program per (config, capacity) pair, zero host round-trips
 
     integrate velocities (gravity)
     -> broadphase (sorted sweep & prune, static shapes)
+    -> [jointed-pair collision exclusion]
     -> narrowphase (batched SAT + clip)
     -> contact-cache join (warm-start impulses carried across frames)
-    -> on-device graph coloring
-    -> prepare + warm start + velocity sweeps + displacement sweeps
+    -> prepare + compaction + fused Pallas solve (warm start, velocity
+       sweeps, displacement sweeps, user-joint rows); colored XLA sweeps
+       as the fallback backend
     -> integrate positions (velocity + split-impulse pseudo-velocity)
     -> rebuild cache, emit stats
 
-``step`` is a pure ``State -> State`` function of SoA pytrees: it composes
-with ``jax.jit``, ``jax.vmap`` (batched scenes, BASELINE.json:11) and
-``jax.lax.scan`` (rollouts) with no special casing.
+``step`` is a pure ``State -> State`` function of SoA pytrees composing
+with ``jax.jit`` and ``jax.lax.scan`` (rollouts).  Batched independent
+scenes run as one block-diagonal mega-scene (parallel/envs.py) — the
+preferred form; ``jax.vmap`` works only with the XLA solver backend.
 """
 
 from __future__ import annotations
