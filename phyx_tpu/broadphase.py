@@ -203,10 +203,11 @@ def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
 
 
 def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
-    """Sweep & prune via the Pallas emission kernel (kernels/sweep.py):
-    true variable-length sweep like the reference's C++ loop, no candidate
-    grid, no giant sort — only the N-key argsort and a max_pairs lex sort."""
-    from phyx_tpu.kernels.sweep import sweep_emit
+    """Sweep & prune via the vectorized Pallas emission kernel
+    (kernels/sweep.py sweep_emit_v2): interval tests run 128 lanes at a
+    time, extraction cost tracks actual hits; no candidate grid, no giant
+    sort — only the N-key argsort and a max_pairs lex sort."""
+    from phyx_tpu.kernels.sweep import sweep_emit_v2
 
     n = bodies.capacity
     lo, hi = compute_aabbs(bodies)
@@ -214,11 +215,22 @@ def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
     iota = jnp.arange(n, dtype=jnp.int32)
     _, order = jax.lax.sort((keys, iota), num_keys=1)
     nact = bodies.active.sum(dtype=jnp.int32)
-    aabb_flat = jnp.stack(
-        [lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1]], axis=1).reshape(-1)
-    dyn = (bodies.inv_mass > 0.0).astype(jnp.int32)
+    slo, shi = lo[order], hi[order]
+    aabb_sorted = jnp.stack(
+        [slo[:, 0], slo[:, 1], shi[:, 0], shi[:, 1]], axis=1).reshape(-1)
+    dyn_sorted = (bodies.inv_mass[order] > 0.0).astype(jnp.int32)
 
-    pi, pj, num, ovf = sweep_emit(aabb_flat, order, dyn, nact, cfg.max_pairs)
+    if n % 1024 == 0:
+        pi, pj, num, ovf = sweep_emit_v2(aabb_sorted, order, dyn_sorted,
+                                         nact, cfg.max_pairs)
+    else:
+        # tiny capacities: the serial scalar sweep (no 128-lane layout)
+        from phyx_tpu.kernels.sweep import sweep_emit
+        aabb_flat = jnp.stack(
+            [lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1]], axis=1).reshape(-1)
+        dyn = (bodies.inv_mass > 0.0).astype(jnp.int32)
+        pi, pj, num, ovf = sweep_emit(aabb_flat, order, dyn, nact,
+                                      cfg.max_pairs)
     pi_s, pj_s = jax.lax.sort((pi, pj), num_keys=2)
     return Pairs(pi=pi_s, pj=pj_s, valid=pi_s != EMPTY, num=num, overflow=ovf)
 

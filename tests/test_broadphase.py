@@ -165,3 +165,14 @@ def test_sap_tiled_matches_brute():
                     solver_backend="pallas")
     pairs = broadphase_sap_tiled(b, cfg)
     assert got_pairs(pairs) == brute_pairs(b, 501)
+
+
+def test_sap_kernel_v2_dense_matches_brute():
+    """The vectorized sweep kernel on a DENSE cluster (many hits per
+    chunk, multi-chunk spans) must equal brute force."""
+    from phyx_tpu.broadphase import broadphase_sap_kernel
+    bodies = random_bodies(200, 256, seed=11, spread=6.0)
+    cfg = SimConfig(max_bodies=256, max_pairs=8192, solver_backend="pallas")
+    pairs = broadphase_sap_kernel(bodies, cfg)
+    assert got_pairs(pairs) == brute_pairs(bodies, 200)
+    assert int(pairs.overflow) == 0
