@@ -1,5 +1,10 @@
 """Microbenchmark: gather/scatter strategies for the solver sweeps on TPU.
 
+WARNING: this harness predates the measurement-integrity findings
+(BASELINE.md): it times with block_until_ready, which can return early on
+this stack.  Treat its numbers as unreliable; use fenced chained-scan
+timings instead (benches/profile_prefix.py docstring).
+
 Decides the solver backend design (SURVEY.md §7.6): the v1 masked-full-buffer
 scatter-add sweeps are slow on TPU; candidates are
   a) gather (jnp.take) cost,

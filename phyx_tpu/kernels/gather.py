@@ -1,12 +1,12 @@
 """Row-gather kernel: out[k, :] = table[idx[k], :].
 
-Replaces XLA's serial gather (20-40 ns/row) with a Mosaic scalar loop
-(~2 ns/row measured at 64k rows).  Indices live in SMEM (scalar memory),
-the table and output in VMEM; the scalar core drives dynamic-index row
-copies which Mosaic pipelines.
-
-Used by the TPU step for all per-pair/per-contact body-state gathers
-(narrowphase geometry rows, solver prepare property rows, cache probes).
+STATUS: unused by the step pipeline.  Fenced measurements (see
+BASELINE.md "Measurement integrity") showed XLA's native row gather is
+FASTER than this Mosaic scalar loop (~11 ns/row vs ~15 ns/row at 57k
+rows); earlier numbers suggesting otherwise were artifacts of
+block_until_ready returning early.  Kept as a reference implementation
+of dynamic-row VMEM access from a Pallas kernel (the pattern the tiled
+solver's body windows rely on).
 """
 
 from __future__ import annotations
