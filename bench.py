@@ -120,18 +120,26 @@ def main():
     fence(st)
 
     # Two scan lengths cancel the fixed per-dispatch host/tunnel overhead:
-    # per-step = (t(2n) - t(n)) / n.
-    t0 = time.perf_counter()
-    st = rollout(st, cfg, args.steps)
-    fence(st)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    st = rollout(st, cfg, 2 * args.steps)
-    fence(st)
-    t2 = time.perf_counter() - t0
+    # per-step = (t(2n) - t(n)) / n.  A noisy pair (t2 <= t1) is re-measured
+    # instead of silently swapping protocols (ADVICE r1 #3); only if every
+    # retry stays under the noise floor do we report the long-run upper
+    # bound, flagged as noise_floor in the JSON.
+    noise_floor = False
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        st = rollout(st, cfg, args.steps)
+        fence(st)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        st = rollout(st, cfg, 2 * args.steps)
+        fence(st)
+        t2 = time.perf_counter() - t0
+        if t2 > t1:
+            break
     dt = max(t2 - t1, 1e-9)
-    if t2 <= t1:    # noise floor: fall back to the long-run upper bound
+    if t2 <= t1:    # persistent noise floor: long-run upper bound, flagged
         dt = t2 / 2.0
+        noise_floor = True
 
     steps_per_sec = args.steps / dt
     # secondary metric: contact pair-impulse iterations / sec / chip
@@ -160,6 +168,7 @@ def main():
             "residual": float(st.stats.residual),
             "backend": jax.default_backend(),
             "solver_backend": args.backend,
+            "noise_floor": noise_floor,
         },
     }))
 

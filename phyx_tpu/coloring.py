@@ -38,6 +38,14 @@ def color_contacts(contacts: Contacts, body_static: jax.Array,
     ``body_static``: (N,) bool, True where the body cannot move.
     """
     C = contacts.valid.shape[0]
+    # Priority packing below keeps idx in the low 20 bits; at C >= 2^20 idx
+    # would bleed into the hash bits, priorities would lose uniqueness, and
+    # two contacts sharing a body could win the same color (ADVICE r1 #2).
+    # C is a static capacity, so this is a trace-time check.
+    assert C < 2 ** 20, (
+        f"contact capacity {C} >= 2^20 breaks the coloring priority packing; "
+        "the XLA backend caps max_contacts at 2^20 - 1 (use the Pallas "
+        "backends beyond that)")
     n = body_static.shape[0]
     idx = jnp.arange(C, dtype=jnp.int32)
     s1 = body_static[contacts.b1]
