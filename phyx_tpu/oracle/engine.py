@@ -352,12 +352,18 @@ class OracleWorld:
 
         # 6. velocity iterations (SolveJointsImpulses, hot loop #1);
         #    user joints sweep after the contacts in every iteration,
-        #    matching the kernels' slot ordering.
+        #    matching the kernels' slot ordering.  residual_history records
+        #    the max |impulse delta| over contact rows per iteration —
+        #    the same quantity the kernels report for their LAST iteration
+        #    (the 1e-3 accuracy gate, BASELINE.json:5).
+        self.residual_history = []
         for _ in range(cfg.velocity_iterations):
+            res = 0.0
             for k in order:
-                self._solve_velocity(joints[k])
+                res = max(res, self._solve_velocity(joints[k]))
             for uj in self.user_joints:
                 self._solve_user_velocity(uj)
+            self.residual_history.append(res)
 
         # 7. position / displacement iterations (hot loop #2)
         dvel = [np.zeros(2) for _ in range(self.n)]
@@ -480,7 +486,8 @@ class OracleWorld:
         self.vel[j] = self.vel[j] + impulse * self.inv_mass[j]
         self.angvel[j] += self.inv_inertia[j] * _cross(jt.r2, impulse)
 
-    def _solve_velocity(self, jt: _Joint):
+    def _solve_velocity(self, jt: _Joint) -> float:
+        """Returns the max |impulse delta| of this visit (residual term)."""
         n = jt.normal
         t = _perp(n)
         # normal limiter
@@ -490,6 +497,7 @@ class OracleWorld:
         d_imp = new_acc - jt.accum_n
         jt.accum_n = new_acc
         self._apply(jt, n * d_imp)
+        res = abs(d_imp)
         # friction limiter (clamped by accumulated normal impulse)
         dv = self._point_vel(jt.b2, jt.r2) - self._point_vel(jt.b1, jt.r1)
         d_imp = -float(t @ dv) * jt.mass_t
@@ -498,6 +506,7 @@ class OracleWorld:
         d_imp = new_acc - jt.accum_t
         jt.accum_t = new_acc
         self._apply(jt, t * d_imp)
+        return max(res, abs(d_imp))
 
     def _solve_displacement(self, jt: _Joint, dvel, dang):
         i, j = jt.b1, jt.b2

@@ -43,7 +43,7 @@ def test_pallas_matches_oracle_stack():
         np.asarray(st.bodies.pos[1:5]), np.asarray(ow.pos)[1:5], atol=5e-3)
 
 
-def test_pallas_residual_parity_vs_oracle_order():
+def test_settled_stack_residual_small():
     """Residual of the last velocity iteration should be small once a
     stack has settled (warm starting carries the solution)."""
     sb = scenes.stack(CFG, 5)
@@ -52,6 +52,51 @@ def test_pallas_residual_parity_vs_oracle_order():
         st = step(st, CFG)
     assert float(st.stats.residual) < 1e-3
     assert float(st.stats.max_penetration) < 0.05
+
+
+def test_per_iteration_residual_parity_vs_oracle():
+    """THE accuracy gate (BASELINE.json:5): the engine's per-iteration
+    velocity-residual sequence must track the reference algorithm's within
+    1e-3.
+
+    Protocol: develop a contact-rich pile, then snapshot the body state
+    into BOTH engines with warm-start caches cleared (so the solve input
+    is exactly the body state).  The oracle records max |impulse delta|
+    per iteration (residual_history); the engine's residual at iteration k
+    is read by solving the SAME snapshot with velocity_iterations=k (its
+    reported residual is the last — i.e. k-th — iteration's)."""
+    K = 8
+    sb = scenes.pile(CFG, 10, seed=2)
+    st = sb.build()
+    fresh_cache = st.cache
+    for _ in range(30):
+        st = step(st, CFG)
+    st = st.replace(cache=fresh_cache)      # cold start
+
+    ow = sb.to_oracle()
+    pos = np.asarray(st.bodies.pos, np.float64)
+    rot = np.asarray(st.bodies.rot, np.float64)
+    vel = np.asarray(st.bodies.vel, np.float64)
+    ang = np.asarray(st.bodies.angvel, np.float64)
+    for i in range(ow.n):
+        ow.pos[i] = pos[i].copy()
+        ow.rot[i] = rot[i].copy()
+        ow.vel[i] = vel[i].copy()
+        ow.angvel[i] = float(ang[i])
+    ow.cache = {}                            # cold start
+    ow.step()
+    assert len(ow.residual_history) == CFG.velocity_iterations
+    oracle_seq = ow.residual_history[:K]
+    assert oracle_seq[0] > 0.01, "scene too settled to exercise the gate"
+
+    engine_seq = [
+        float(step(st, CFG.replace(velocity_iterations=k)).stats.residual)
+        for k in range(1, K + 1)]
+
+    err = np.abs(np.asarray(engine_seq) - np.asarray(oracle_seq))
+    assert err.max() < 1e-3, (
+        f"per-iteration residual diverges from oracle by {err.max()}:\n"
+        f"engine {engine_seq}\noracle {oracle_seq}")
 
 
 def test_pallas_vs_xla_backend_agree():
