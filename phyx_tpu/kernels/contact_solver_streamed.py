@@ -8,10 +8,18 @@ SMEM-resident for the whole solve.  This is the TPU-native analog of the
 reference's SolveJoints* loops walking SoA joint arrays that exceed cache
 (SURVEY.md §3.3): the working set is the body state; joints stream.
 
+USER JOINTS (round 2): joint rows (revolute/distance, encodings in
+joints.py — same 12-f32 row width) stream exactly like contacts, as whole
+blocks appended AFTER the contact region.  Within every pass the block
+order is contacts then joints, so the sweep order equals the fused kernel's
+(contacts, then user joints, per iteration) and the oracle's.  Each slot
+carries 4 accumulator floats (contacts use normal/tangent/displacement;
+joints use velocity-impulse x,y + displacement-impulse x,y).
+
 Capacity envelope (SMEM ~1MB):
   bodies:   N*8*4 bytes resident (aliased in/out)  -> N <= ~20k
-  contacts: unlimited (HBM), streamed; SMEM cost is
-            2 buffer sets * BLK*(12+2+3)*4 f32 + 2*BLK*2*4 i32 = ~152KB.
+  contacts/joints: unlimited (HBM), streamed; SMEM cost is
+            2 buffer sets * BLK*(12+2+4)*4 f32 + 2*BLK*2*4 i32 = ~160KB.
 
 Accumulated impulses are read-modify-written back to HBM once per block
 visit per pass so the next pass (and the final cache rebuild) sees them.
@@ -33,7 +41,7 @@ problems to the all-SMEM kernel).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,23 +56,27 @@ def _use_interpret() -> bool:
 
 
 def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
-                     n_cap: int):
-    """Pass p: 0 = warm start, 1..vel_iters = velocity, rest = position."""
+                     n_cap: int, c_blocks: int):
+    """Pass p: 0 = warm start, 1..vel_iters = velocity, rest = position.
+    Blocks [0, c_blocks) hold contact rows; [c_blocks, n_blocks) hold
+    user-joint rows (compiled away when c_blocks == n_blocks)."""
 
     n_passes = 1 + vel_iters + pos_iters
     total = n_passes * n_blocks
+    has_joints = c_blocks < n_blocks
 
-    def kern(num_ref,                     # (1,) i32 SMEM
+    def kern(num_ref,                     # (2,) i32 SMEM: [contacts, joints]
              b1_hbm, b2_hbm, con_hbm, warm_hbm,   # ANY (HBM)
              body_io_hbm,                 # (N*8,) f32 ANY (aliased input)
              body_hbm,                    # out (N*8,) f32 ANY == body_io_hbm
-             acc_hbm,                     # out ANY (C*3,) f32
+             acc_hbm,                     # out ANY (C*4,) f32
              res_ref,                     # out (1,) f32 SMEM
              body_ref, body_sem,          # SMEM body working set + its DMA sem
              b1_a, b2_a, con_a, warm_a, acc_a, sem_a, osem_a,
              b1_b, b2_b, con_b, warm_b, acc_b, sem_b, osem_b):
         del body_io_hbm  # aliased with body_hbm; all HBM access via body_hbm
         num = num_ref[0]
+        numj = num_ref[1]
         res_ref[0] = 0.0
 
         # Body state: one whole-array DMA into SMEM (stays resident for the
@@ -81,7 +93,7 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
             off = pl.multiple_of(b * BLK, BLK)
             off12 = pl.multiple_of(b * (BLK * 12), BLK)
             off2 = pl.multiple_of(b * (BLK * 2), BLK)
-            off3 = pl.multiple_of(b * (BLK * 3), BLK)
+            off4 = pl.multiple_of(b * (BLK * 4), BLK)
             return (
                 pltpu.make_async_copy(b1_hbm.at[pl.ds(off, BLK)],
                                       b1_s, sem.at[0]),
@@ -91,16 +103,16 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                                       con_s, sem.at[2]),
                 pltpu.make_async_copy(warm_hbm.at[pl.ds(off2, BLK * 2)],
                                       warm_s, sem.at[3]),
-                pltpu.make_async_copy(acc_hbm.at[pl.ds(off3, BLK * 3)],
+                pltpu.make_async_copy(acc_hbm.at[pl.ds(off4, BLK * 4)],
                                       acc_s, sem.at[4]),
             )
 
         def acc_out_copy(bufs, b):
             acc_s = bufs[4]
             osem = bufs[6]
-            off3 = pl.multiple_of(b * (BLK * 3), BLK)
+            off4 = pl.multiple_of(b * (BLK * 4), BLK)
             return pltpu.make_async_copy(
-                acc_s, acc_hbm.at[pl.ds(off3, BLK * 3)], osem)
+                acc_s, acc_hbm.at[pl.ds(off4, BLK * 4)], osem)
 
         def start_block(bufs, b):
             for cp in in_copies(bufs, b):
@@ -139,9 +151,10 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 body_ref[j] = body_ref[j] + px * im2
                 body_ref[j + 1] = body_ref[j + 1] + py * im2
                 body_ref[j + 2] = body_ref[j + 2] + ii2 * (r2x * py - r2y * px)
-                acc_s[k * 3] = wn
-                acc_s[k * 3 + 1] = wt
-                acc_s[k * 3 + 2] = 0.0
+                acc_s[k * 4] = wn
+                acc_s[k * 4 + 1] = wt
+                acc_s[k * 4 + 2] = 0.0
+                acc_s[k * 4 + 3] = 0.0
                 return 0
             jax.lax.fori_loop(0, cnt, one, 0)
 
@@ -176,10 +189,10 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
                 vn = nx * dvx + ny * dvy
                 d = (dstv - vn) * mn
-                a = acc_s[k * 3]
+                a = acc_s[k * 4]
                 na = jnp.maximum(a + d, 0.0)
                 d = na - a
-                acc_s[k * 3] = na
+                acc_s[k * 4] = na
                 px = nx * d
                 py = ny * d
                 vx1 -= px * im1
@@ -193,11 +206,11 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
                 vt = -ny * dvx + nx * dvy
                 d = -vt * mt
-                a = acc_s[k * 3 + 1]
+                a = acc_s[k * 4 + 1]
                 mf = fr * na
                 ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
                 d = ta - a
-                acc_s[k * 3 + 1] = ta
+                acc_s[k * 4 + 1] = ta
                 px = -ny * d
                 py = nx * d
                 body_ref[i] = vx1 - px * im1
@@ -240,10 +253,10 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 dvy = py2 + q2 * r2x - py1 - q1 * r1x
                 vn = nx * dvx + ny * dvy
                 d = (ddv - vn) * mn
-                a = acc_s[k * 3 + 2]
+                a = acc_s[k * 4 + 2]
                 na = jnp.maximum(a + d, 0.0)
                 d = na - a
-                acc_s[k * 3 + 2] = na
+                acc_s[k * 4 + 2] = na
                 ix = nx * d
                 iy = ny * d
                 body_ref[i + 5] = px1 - ix * im1
@@ -252,6 +265,127 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 body_ref[j + 5] = px2 + ix * im2
                 body_ref[j + 6] = py2 + iy * im2
                 body_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
+        # ---- user-joint sweeps (row encodings: joints.py docstring;
+        # math mirrors kernels/contact_solver.py joint_*_one) ----
+
+        def joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, off):
+            im1 = body_ref[i + 3]
+            ii1 = body_ref[i + 4]
+            im2 = body_ref[j + 3]
+            ii2 = body_ref[j + 4]
+            body_ref[i + off] = body_ref[i + off] - px * im1
+            body_ref[i + off + 1] = body_ref[i + off + 1] - py * im1
+            body_ref[i + off + 2] = (body_ref[i + off + 2]
+                                     - ii1 * (r1x * py - r1y * px))
+            body_ref[j + off] = body_ref[j + off] + px * im2
+            body_ref[j + off + 1] = body_ref[j + off + 1] + py * im2
+            body_ref[j + off + 2] = (body_ref[j + off + 2]
+                                     + ii2 * (r2x * py - r2y * px))
+
+        def joint_geom(con_s, base):
+            kind = con_s[base + 11]
+            is_rev = kind == 1.0
+            r1x = jnp.where(is_rev, con_s[base], con_s[base + 2])
+            r1y = jnp.where(is_rev, con_s[base + 1], con_s[base + 3])
+            r2x = jnp.where(is_rev, con_s[base + 2], con_s[base + 4])
+            r2y = jnp.where(is_rev, con_s[base + 3], con_s[base + 5])
+            return is_rev, r1x, r1y, r2x, r2y
+
+        def joint_warm_sweep(bufs, cnt):
+            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+
+            def one(k, _):
+                base = k * 12
+                is_rev, r1x, r1y, r2x, r2y = joint_geom(con_s, base)
+                wx = warm_s[k * 2]
+                wy = warm_s[k * 2 + 1]
+                px = jnp.where(is_rev, wx, con_s[base] * wx)
+                py = jnp.where(is_rev, wy, con_s[base + 1] * wx)
+                i = b1_s[k] * 8
+                j = b2_s[k] * 8
+                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
+                acc_s[k * 4] = wx
+                acc_s[k * 4 + 1] = jnp.where(is_rev, wy, 0.0)
+                acc_s[k * 4 + 2] = 0.0
+                acc_s[k * 4 + 3] = 0.0
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
+        def joint_vel_sweep(bufs, cnt):
+            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+
+            def one(k, _):
+                base = k * 12
+                is_rev, r1x, r1y, r2x, r2y = joint_geom(con_s, base)
+                i = b1_s[k] * 8
+                j = b2_s[k] * 8
+                vx1 = body_ref[i]
+                vy1 = body_ref[i + 1]
+                w1 = body_ref[i + 2]
+                vx2 = body_ref[j]
+                vy2 = body_ref[j + 1]
+                w2 = body_ref[j + 2]
+                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                # revolute: impulse = -(M @ dv); distance: -m*(n.dv) along n
+                m00 = con_s[base + 4]
+                m01 = con_s[base + 5]
+                m11 = con_s[base + 6]
+                px_r = -(m00 * dvx + m01 * dvy)
+                py_r = -(m01 * dvx + m11 * dvy)
+                nx = con_s[base]
+                ny = con_s[base + 1]
+                dd = -(con_s[base + 6]) * (nx * dvx + ny * dvy)
+                px = jnp.where(is_rev, px_r, nx * dd)
+                py = jnp.where(is_rev, py_r, ny * dd)
+                acc_s[k * 4] = acc_s[k * 4] + jnp.where(is_rev, px, dd)
+                acc_s[k * 4 + 1] = acc_s[k * 4 + 1] + jnp.where(
+                    is_rev, py, 0.0)
+                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
+                res_ref[0] = jnp.maximum(
+                    res_ref[0], jnp.maximum(jnp.abs(px), jnp.abs(py)))
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
+        def joint_pos_sweep(bufs, cnt):
+            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+
+            def one(k, _):
+                base = k * 12
+                is_rev, r1x, r1y, r2x, r2y = joint_geom(con_s, base)
+                i = b1_s[k] * 8
+                j = b2_s[k] * 8
+                px1 = body_ref[i + 5]
+                py1 = body_ref[i + 6]
+                q1 = body_ref[i + 7]
+                px2 = body_ref[j + 5]
+                py2 = body_ref[j + 6]
+                q2 = body_ref[j + 7]
+                dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                m00 = con_s[base + 4]
+                m01 = con_s[base + 5]
+                m11 = con_s[base + 6]
+                dstx = con_s[base + 7]
+                dsty = con_s[base + 8]
+                ex = dstx - dvx
+                ey = dsty - dvy
+                px_r = m00 * ex + m01 * ey
+                py_r = m01 * ex + m11 * ey
+                nx = con_s[base]
+                ny = con_s[base + 1]
+                dd = con_s[base + 6] * (con_s[base + 7]
+                                        - (nx * dvx + ny * dvy))
+                px = jnp.where(is_rev, px_r, nx * dd)
+                py = jnp.where(is_rev, py_r, ny * dd)
+                acc_s[k * 4 + 2] = acc_s[k * 4 + 2] + jnp.where(
+                    is_rev, px, dd)
+                acc_s[k * 4 + 3] = acc_s[k * 4 + 3] + jnp.where(
+                    is_rev, py, 0.0)
+                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 5)
                 return 0
             jax.lax.fori_loop(0, cnt, one, 0)
 
@@ -281,16 +415,33 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
             def _():
                 res_ref[0] = 0.0
 
-            cnt = jnp.clip(num - b * BLK, 0, BLK)
+            # Pass kind: 0 warm, 1 velocity, 2 position — plus 3 for joint
+            # blocks.  The warm pass runs over the FULL block: it doubles
+            # as the acc initializer (acc_hbm starts uninitialized), and
+            # slots >= num are exact no-ops (warm = 0, masses = 0, clamped
+            # body ids).
             kind = jnp.where(p == 0, 0, jnp.where(p <= vel_iters, 1, 2))
-            # The warm pass runs over the FULL block: it doubles as the acc
-            # initializer (acc_hbm starts uninitialized), and slots >= num
-            # are exact no-ops (warm = 0, masses = 0, clamped body ids).
-            jax.lax.switch(kind, [
-                lambda: warm_sweep(cur, BLK),
-                lambda: vel_sweep(cur, cnt),
-                lambda: pos_sweep(cur, cnt),
-            ])
+            if has_joints:
+                is_j = (b >= c_blocks).astype(jnp.int32)
+                cnt = jnp.where(
+                    is_j == 1,
+                    jnp.clip(numj - (b - c_blocks) * BLK, 0, BLK),
+                    jnp.clip(num - b * BLK, 0, BLK))
+                jax.lax.switch(kind + 3 * is_j, [
+                    lambda: warm_sweep(cur, BLK),
+                    lambda: vel_sweep(cur, cnt),
+                    lambda: pos_sweep(cur, cnt),
+                    lambda: joint_warm_sweep(cur, BLK),
+                    lambda: joint_vel_sweep(cur, cnt),
+                    lambda: joint_pos_sweep(cur, cnt),
+                ])
+            else:
+                cnt = jnp.clip(num - b * BLK, 0, BLK)
+                jax.lax.switch(kind, [
+                    lambda: warm_sweep(cur, BLK),
+                    lambda: vel_sweep(cur, cnt),
+                    lambda: pos_sweep(cur, cnt),
+                ])
 
             acc_out_copy(cur, b).start()
 
@@ -323,26 +474,36 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
     return kern
 
 
-@functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters"))
+@functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters",
+                                              "c_cap"))
 def solve_contacts_streamed(
     body_flat: jax.Array,    # (N*8,) f32
-    b1: jax.Array,           # (C,) int32, C multiple of BLK, C >= 2*BLK
-    b2: jax.Array,           # (C,) int32
-    con_flat: jax.Array,     # (C*12,) f32
-    warm_flat: jax.Array,    # (C*2,) f32
+    b1: jax.Array,           # (R,) int32, R multiple of BLK, R >= 2*BLK
+    b2: jax.Array,           # (R,) int32
+    con_flat: jax.Array,     # (R*12,) f32
+    warm_flat: jax.Array,    # (R*2,) f32
     num_contacts: jax.Array,  # () int32
     vel_iters: int,
     pos_iters: int,
+    num_joints: Optional[jax.Array] = None,  # () int32
+    c_cap: Optional[int] = None,  # contact rows; joint rows at [c_cap, R)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (body_flat', acc (C*3,), residual (1,)).
+    """Returns (body_flat', acc (R*4,), residual (1,)).
 
-    Contact slots >= num_contacts must be no-ops (mass_n = mass_t = 0,
-    warm = 0) — guaranteed by solver.py packing."""
+    Row slots >= num_contacts in the contact region (and >= num_joints in
+    the joint region) must be no-ops (masses = 0, warm = 0, clamped body
+    ids) — guaranteed by solver.py packing.  Accumulator layout per slot:
+    contacts (normal, tangent, displacement, unused); joints (velocity
+    impulse x, y, displacement impulse x, y)."""
     n_cap = body_flat.shape[0] // 8
-    c_cap = b1.shape[0]
+    r_cap = b1.shape[0]
+    if c_cap is None:
+        c_cap = r_cap
     assert c_cap % BLK == 0 and c_cap >= 2 * BLK, c_cap
-    n_blocks = c_cap // BLK
-    kern = _streamed_kernel(vel_iters, pos_iters, n_blocks, n_cap)
+    assert r_cap % BLK == 0, r_cap
+    n_blocks = r_cap // BLK
+    c_blocks = c_cap // BLK
+    kern = _streamed_kernel(vel_iters, pos_iters, n_blocks, n_cap, c_blocks)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
 
@@ -352,16 +513,21 @@ def solve_contacts_streamed(
             pltpu.SMEM((BLK,), jnp.int32),        # b2_s
             pltpu.SMEM((BLK * 12,), jnp.float32),  # con_s
             pltpu.SMEM((BLK * 2,), jnp.float32),   # warm_s
-            pltpu.SMEM((BLK * 3,), jnp.float32),   # acc_s
+            pltpu.SMEM((BLK * 4,), jnp.float32),   # acc_s
             pltpu.SemaphoreType.DMA((5,)),         # in sems
             pltpu.SemaphoreType.DMA,               # acc out sem
         ]
+
+    if num_joints is None:
+        num_joints = jnp.int32(0)
+    nums = jnp.stack([num_contacts.astype(jnp.int32),
+                      num_joints.astype(jnp.int32)])
 
     body_out, acc, res = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((n_cap * 8,), jnp.float32),
-            jax.ShapeDtypeStruct((c_cap * 3,), jnp.float32),
+            jax.ShapeDtypeStruct((r_cap * 4,), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
         in_specs=[smem, anyspec, anyspec, anyspec, anyspec, anyspec],
@@ -371,6 +537,5 @@ def solve_contacts_streamed(
                          pltpu.SemaphoreType.DMA]
                         + bufset() + bufset()),
         interpret=_use_interpret(),
-    )(jnp.reshape(num_contacts.astype(jnp.int32), (1,)),
-      b1, b2, con_flat, warm_flat, body_flat)
+    )(nums, b1, b2, con_flat, warm_flat, body_flat)
     return body_out, acc, res

@@ -34,8 +34,6 @@ from phyx_tpu.types import Bodies
 
 def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig) -> Contacts:
     """Batched PrepareJoints (SURVEY.md §3.4)."""
-    from phyx_tpu.rows import take_rows
-
     b1, b2 = contacts.b1, contacts.b2
     n = contacts.normal
     t = m2.perp(n)
@@ -50,9 +48,10 @@ def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig) -> Contacts:
         bodies.restitution[:, None],     # 6
         jnp.zeros_like(bodies.angvel[:, None]),
     ], axis=1)                           # (N, 8)
-    use_pallas = cfg.solver_backend == "pallas"
-    p1 = take_rows(props, b1, use_pallas)
-    p2 = take_rows(props, b2, use_pallas)
+    # XLA's native row gather measured faster than a serial Pallas scalar
+    # gather on v5e (fenced, ~8 ms/step at 10k) — keep it plain.
+    p1 = props[b1]
+    p2 = props[b2]
     im1, im2 = p1[:, 3], p2[:, 3]
     ii1, ii2 = p1[:, 4], p2[:, 4]
 
@@ -181,7 +180,7 @@ def pallas_streamed_smem_bytes(n_bodies_cap: int) -> int:
     """SMEM footprint of the streamed solver (contact_solver_streamed.py):
     body (N*8 f32, aliased in/out) + fixed double-buffered block scratch."""
     from phyx_tpu.kernels.contact_solver_streamed import BLK
-    return 4 * n_bodies_cap * 8 + 2 * BLK * (12 + 2 + 3 + 1 + 1) * 4
+    return 4 * n_bodies_cap * 8 + 2 * BLK * (12 + 2 + 4 + 1 + 1) * 4
 
 
 PALLAS_SMEM_BUDGET = 900 * 1024   # leave headroom under the 1MB space
@@ -224,12 +223,28 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
     warm_flat = jnp.stack([contacts.warm_n, contacts.warm_t], axis=1)
     b1, b2 = contacts.b1, contacts.b2
     num_joints = None
+    j_pad = 0
     if j_cap:
-        con_flat = jnp.concatenate([con_flat, joint_rows], axis=0)
-        warm_flat = jnp.concatenate([warm_flat, joint_warm], axis=0)
+        jrows, jwarm = joint_rows, joint_warm
         nb = jnp.int32(n - 1)
-        b1 = jnp.concatenate([b1, jnp.minimum(joints.b1, nb)])
-        b2 = jnp.concatenate([b2, jnp.minimum(joints.b2, nb)])
+        jb1 = jnp.minimum(joints.b1, nb)
+        jb2 = jnp.minimum(joints.b2, nb)
+        if streamed:
+            # the streamed kernel DMAs whole 1024-slot blocks: pad the
+            # joint region to a BLK multiple (zero rows = exact no-ops)
+            from phyx_tpu.kernels.contact_solver_streamed import BLK as _B
+            j_pad = -(-j_cap // _B) * _B - j_cap
+            if j_pad:
+                jrows = jnp.concatenate(
+                    [jrows, jnp.zeros((j_pad, 12), jnp.float32)], axis=0)
+                jwarm = jnp.concatenate(
+                    [jwarm, jnp.zeros((j_pad, 2), jnp.float32)], axis=0)
+                jb1 = jnp.concatenate([jb1, jnp.zeros((j_pad,), jnp.int32)])
+                jb2 = jnp.concatenate([jb2, jnp.zeros((j_pad,), jnp.int32)])
+        con_flat = jnp.concatenate([con_flat, jrows], axis=0)
+        warm_flat = jnp.concatenate([warm_flat, jwarm], axis=0)
+        b1 = jnp.concatenate([b1, jb1])
+        b2 = jnp.concatenate([b2, jb2])
         num_joints = (joints.kind != 0).sum(dtype=jnp.int32)
     con_flat = con_flat.reshape(-1)
     warm_flat = warm_flat.reshape(-1)
@@ -237,11 +252,11 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
     if streamed:
         from phyx_tpu.kernels.contact_solver_streamed import \
             solve_contacts_streamed
-        assert j_cap == 0, "streamed solver does not take joint rows yet"
         body_out, acc, res = solve_contacts_streamed(
             body_flat, b1, b2, con_flat, warm_flat,
-            num_contacts, cfg.velocity_iterations, cfg.position_iterations)
-        acc = acc.reshape(c, 3)
+            num_contacts, cfg.velocity_iterations, cfg.position_iterations,
+            num_joints=num_joints, c_cap=c)
+        acc = acc.reshape(c + j_cap + j_pad, 4)
     else:
         body_out, acc, res = solve_contacts_fused(
             body_flat, b1, b2, con_flat, warm_flat,
@@ -256,7 +271,8 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
         dvel=body_out[:, 5:7],
         dangvel=body_out[:, 7],
     )
-    joint_accum = acc[c:, 0:2] if j_cap else jnp.zeros((0, 2), jnp.float32)
+    joint_accum = (acc[c:c + j_cap, 0:2] if j_cap
+                   else jnp.zeros((0, 2), jnp.float32))
     return bodies, acc[:c, 0], acc[:c, 1], res[0], joint_accum
 
 
@@ -313,11 +329,17 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     ], axis=1)                           # (N, 8)
     embedded = jnp.where(row_valid[:, None], body_rows[src], 0.0)
 
-    # contact routing
+    # contact routing.  Only bodies whose row literally EQUALS the zero
+    # row (zero velocity/angvel AND both inverse masses zero) may be
+    # remapped to it — a kinematic static (inv_mass 0, velocity set, which
+    # SceneBuilder.add_box permits) contributes real motion to relative-
+    # velocity terms and must keep its actual embedded row (ADVICE r1 #1).
+    zero_safe = ((bodies.inv_mass == 0.0) & (bodies.inv_inertia == 0.0)
+                 & jnp.all(bodies.vel == 0.0, axis=1) & (bodies.angvel == 0.0))
     b1p = pos[contacts.b1]
     b2p = pos[contacts.b2]
-    st1 = bodies.inv_mass[contacts.b1] == 0.0
-    st2 = bodies.inv_mass[contacts.b2] == 0.0
+    st1 = zero_safe[contacts.b1]
+    st2 = zero_safe[contacts.b2]
     dyn_min = jnp.where(st1, b2p, jnp.where(st2, b1p, jnp.minimum(b1p, b2p)))
     slab = jnp.clip(dyn_min // K, 0, n_slabs - 1)
     zero_row = slab * K

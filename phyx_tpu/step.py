@@ -103,9 +103,10 @@ def step(state: State, cfg: SimConfig) -> State:
     tiled = False
     if use_pallas and solver.pallas_smem_bytes(
             bodies.capacity, c_cap + j_cap) > solver.PALLAS_SMEM_BUDGET:
-        if (j_cap == 0 and c_cap % _BLK == 0 and c_cap >= 2 * _BLK
+        if (c_cap % _BLK == 0 and c_cap >= 2 * _BLK
                 and solver.pallas_streamed_smem_bytes(bodies.capacity)
                 <= solver.PALLAS_SMEM_BUDGET):
+            # joints stream too (blocks appended after the contact region)
             streamed = True
         elif j_cap == 0 and c_cap % _BLK == 0 and c_cap >= 2 * _BLK:
             # body table beyond SMEM too: x-sorted slab windows
@@ -114,10 +115,9 @@ def step(state: State, cfg: SimConfig) -> State:
             use_pallas = False
     if j_cap and not use_pallas:
         raise NotImplementedError(
-            "user joints require the fused Pallas solver: set "
-            "solver_backend='pallas' and keep max_bodies/max_pairs/"
-            "max_joints within its SMEM envelope "
-            "(solver.pallas_smem_bytes)")
+            "user joints require a Pallas solver (fused or streamed): set "
+            "solver_backend='pallas'; beyond the streamed envelope "
+            "(max_bodies <= ~20k) joints are unsupported (tiled kernel)")
 
     joints_out = state.joints
     if use_pallas:

@@ -108,3 +108,47 @@ def test_joints_require_pallas_backend():
     st = sb.build()
     with pytest.raises(NotImplementedError):
         step(st, cfg)
+
+
+def test_streamed_joints_match_fused_bitexact():
+    """Joint rows stream after the contact region (round 2): the streamed
+    kernel must equal the all-SMEM fused kernel bit-for-bit on a jointed
+    scene (same serial sweep order — contacts then joints per pass —
+    different data movement).  Forced by monkeypatching the SMEM-fit
+    predicate, like test_streamed_matches_fused_bitexact."""
+    import jax
+    import phyx_tpu.solver as solver
+    import phyx_tpu.step as step_mod
+
+    cfg = SimConfig(max_bodies=128, max_pairs=1024, max_joints=32,
+                    broadphase="n2", solver_backend="pallas")
+
+    def build():
+        sb = scenes.chain(cfg, 8)
+        # add boxes that fall onto the chain so contacts AND joints are live
+        for k in range(6):
+            sb.add_box((1.0 + 0.9 * k, 2.0 + 0.2 * k), (0.3, 0.3),
+                       friction=0.5)
+        return sb
+
+    st_f = build().build()
+    for _ in range(25):
+        st_f = step_mod.step(st_f, cfg)
+
+    orig = solver.pallas_smem_bytes
+    solver.pallas_smem_bytes = lambda n, c: 10 ** 9  # force "fused unfit"
+    jax.clear_caches()
+    st_s = build().build()
+    try:
+        for _ in range(25):
+            st_s = step_mod.step(st_s, cfg)
+    finally:
+        solver.pallas_smem_bytes = orig
+        jax.clear_caches()
+
+    np.testing.assert_array_equal(np.asarray(st_f.bodies.pos),
+                                  np.asarray(st_s.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(st_f.bodies.vel),
+                                  np.asarray(st_s.bodies.vel))
+    np.testing.assert_array_equal(np.asarray(st_f.joints.accum),
+                                  np.asarray(st_s.joints.accum))

@@ -40,3 +40,55 @@ def test_tiled_matches_fused_loosely():
     assert float(st_t.stats.max_penetration) < 0.1
     d = np.abs(np.asarray(st_f.bodies.pos) - np.asarray(st_t.bodies.pos)).max()
     assert d < 0.05, f"tiled diverged from fused: {d}"
+
+
+def _run_tiled(sb, cfg, n_steps):
+    """Force the tiled backend by shrinking the SMEM budgets."""
+    orig_f = solver.pallas_smem_bytes
+    orig_s = solver.pallas_streamed_smem_bytes
+    solver.pallas_smem_bytes = lambda n, c: 10 ** 9
+    solver.pallas_streamed_smem_bytes = lambda n: 10 ** 9
+    jax.clear_caches()
+    st = sb.build()
+    try:
+        for _ in range(n_steps):
+            st = step_mod.step(st, cfg)
+    finally:
+        solver.pallas_smem_bytes = orig_f
+        solver.pallas_streamed_smem_bytes = orig_s
+        jax.clear_caches()
+    return st
+
+
+def test_tiled_kinematic_static_velocity():
+    """A static body with nonzero velocity (conveyor belt) must contribute
+    its motion to relative-velocity terms on the tiled path exactly like the
+    fused path — regression for the zero-replica-row remap (ADVICE r1 #1),
+    which silently read kinematic statics as motionless."""
+    cfg = SimConfig(max_bodies=512, max_pairs=1024, broadphase="sap",
+                    sap_window=48, solver_backend="pallas",
+                    tile_stride=256, tile_halo=256)
+
+    def build():
+        sb = scenes.pile(cfg, 200, seed=1)   # filler so slabs are nontrivial
+        # conveyor: static slab moving +x under a resting box, far from pile
+        sb.add_box((60.0, 0.25), (3.0, 0.25), static=True, friction=0.9,
+                   velocity=(2.0, 0.0))
+        sb.add_box((60.0, 1.0), (0.4, 0.4), friction=0.9)
+        return sb
+
+    st_f = build().build()
+    for _ in range(30):
+        st_f = step(st_f, cfg)
+    st_t = _run_tiled(build(), cfg, 30)
+
+    # the belt must have dragged the box (index 202: ground=0, 200 pile
+    # boxes=1..200, belt=201, box=202) on BOTH paths
+    box = 202
+    vx_f = float(st_f.bodies.vel[box, 0])
+    vx_t = float(st_t.bodies.vel[box, 0])
+    assert vx_f > 0.5, f"fused belt did not drag the box: vx={vx_f}"
+    assert vx_t > 0.5, f"tiled belt did not drag the box: vx={vx_t}"
+    d = np.abs(np.asarray(st_f.bodies.pos[box]) -
+               np.asarray(st_t.bodies.pos[box])).max()
+    assert d < 0.02, f"tiled kinematic contact diverged from fused: {d}"
