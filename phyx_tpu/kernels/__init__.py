@@ -1,11 +1,14 @@
 """Pallas TPU kernels — the performance path.
 
-Measured design facts on TPU v5 lite (this environment, see
-benches/micro_scatter.py and the build log):
+Measured design facts on TPU v5 lite (this environment; fenced
+micro-measurements, see git history ~2026-08-16 and BASELINE.md):
 
-  * XLA lowers gather/scatter to a ~20-40 ns/element SERIAL loop — any
-    `x[idx]` / `.at[idx].add()` on contact-sized arrays costs milliseconds.
-    This poisons the whole pipeline, not just the solver.
+  * XLA lowers gather/scatter to a row-serialized loop (~11-15 ns/row for
+    packed row gathers under fenced timings) — fine for the per-frame
+    batched stages, far too slow inside the per-iteration solver sweep.
+    (Early, broken block_until_ready timings overstated this 2-3x; a
+    serial Pallas scalar gather measured SLOWER than XLA's — row gathers
+    outside the sweep stay plain `x[idx]`.)
   * Mosaic scalar loops over SMEM run at ~1-2 ns per element INCLUDING
     dynamic-index VMEM row copies, with exact serial semantics (verified
     against a serial NumPy reference bit-for-bit within f32).
@@ -26,7 +29,6 @@ Consequences (vs. the original SURVEY.md §7 plan):
     cache join, pair compaction) become small scalar kernels too.
 """
 
-from phyx_tpu.kernels.gather import gather_rows
 from phyx_tpu.kernels.contact_solver import solve_contacts_fused
 
-__all__ = ["gather_rows", "solve_contacts_fused"]
+__all__ = ["solve_contacts_fused"]

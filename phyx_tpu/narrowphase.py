@@ -69,8 +69,6 @@ def _sel(cond, a, b):
 
 def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
     """Batched SAT + clip over the pair buffer -> flat Contacts."""
-    from phyx_tpu.rows import take_rows
-
     n = bodies.capacity
     i = jnp.minimum(pairs.pi, n - 1)     # clamp EMPTY slots; masked below
     j = jnp.minimum(pairs.pj, n - 1)
@@ -79,9 +77,8 @@ def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
     # one packed geometry gather per side (serial-gather-free on TPU)
     geom = jnp.concatenate(
         [bodies.pos, bodies.rot, bodies.half_extent], axis=1)   # (N, 6)
-    use_pallas = cfg.solver_backend == "pallas"
-    ga = take_rows(geom, i, use_pallas)
-    gb = take_rows(geom, j, use_pallas)
+    ga = geom[i]
+    gb = geom[j]
     pa, ra, ha = ga[:, 0:2], ga[:, 2:4], ga[:, 4:6]
     pb, rb, hb = gb[:, 0:2], gb[:, 2:4], gb[:, 4:6]
 
