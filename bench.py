@@ -57,24 +57,35 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str):
     return cfg, mega.build()
 
 
-def build(scene: str, boxes: int, backend: str):
+def build(scene: str, boxes: int, backend: str, broadphase: str = "sap",
+          sap_window: int = 96, sap_hits: int = 8,
+          pairs_per_box: float = 0.0):
     cap = 1
     while cap < boxes + 8:
         cap *= 2
     joint_scene = scene in ("chain", "bridge", "net")
+    if pairs_per_box <= 0.0:
+        # Budget policy: settled piles hold ~2.8 pairs/box (measured;
+        # 27,758 pairs @ 10k after 450 frames); avalanche wedges compact
+        # much denser (~5.6 at frame 400, round 1).  Headroom: 3.2x for
+        # piles (measured overflow 0, and the buffers scale every
+        # downstream vectorized stage: 3.2x vs 4x = 15.47 vs 14.28
+        # steps/s @ 10k), 8x for avalanche.  Joint scenes
+        # (collide-connected pairs excluded) carry far fewer contacts;
+        # their budget trades contact slots for joint slots to stay in
+        # the fused kernel's SMEM envelope.
+        pairs_per_box = (2 if joint_scene
+                         else 8 if scene == "avalanche" else 3.2)
     cfg = SimConfig(
         max_bodies=cap,
-        # Settled piles hold ~2.6 pairs/box (measured); 4x is safe headroom
-        # while keeping the contact buffers lean enough for SMEM residency.
         # Rounded to 512 so contact slots hit the streamed kernel's
-        # 1024-slot DMA granularity.  Joint scenes (collide-connected pairs
-        # excluded) carry far fewer contacts; their budget trades contact
-        # slots for joint slots to stay in the fused kernel's SMEM envelope.
-        max_pairs=max(1024, ((boxes * (2 if joint_scene else 4)) + 511)
+        # 1024-slot DMA granularity.
+        max_pairs=max(1024, (int(boxes * pairs_per_box) + 511)
                       // 512 * 512),
         max_joints=cap if joint_scene else 0,
-        broadphase="sap",
-        sap_window=96,
+        broadphase=broadphase,
+        sap_window=sap_window,
+        sap_hits=sap_hits,
         num_colors=24,
         solver_backend=backend,
     )
@@ -95,6 +106,15 @@ def main():
                              "envs"])
     ap.add_argument("--backend", default="pallas",
                     choices=["xla", "pallas"])
+    # sap_grid @ window 192 measured fastest at 10k (14.28 vs 13.29
+    # steps/s for the Pallas emission kernel, overflow 0, 2026-08-16)
+    ap.add_argument("--broadphase", default="sap_grid",
+                    choices=["sap", "sap_kernel", "sap_grid", "sap_window",
+                             "n2"])
+    ap.add_argument("--sap-window", type=int, default=192)
+    ap.add_argument("--sap-hits", type=int, default=8)
+    ap.add_argument("--pairs-per-box", type=float, default=0.0,
+                    help="pair budget per box (0 = per-scene policy)")
     ap.add_argument("--envs", type=int, default=64,
                     help="env count for --scene envs (boxes = per-env size)")
     args = ap.parse_args()
@@ -102,7 +122,9 @@ def main():
     if args.scene == "envs":
         cfg, st = build_envs(args.envs, args.boxes, args.backend)
     else:
-        cfg, st = build(args.scene, args.boxes, args.backend)
+        cfg, st = build(args.scene, args.boxes, args.backend,
+                        args.broadphase, args.sap_window, args.sap_hits,
+                        args.pairs_per_box)
 
     def fence(s):
         # jax.block_until_ready can return before remote execution finishes

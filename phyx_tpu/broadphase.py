@@ -114,25 +114,17 @@ def broadphase_n2(bodies: Bodies, cfg: SimConfig) -> Pairs:
     return _finish(ii, jj, valid, jnp.int32(0), cfg.max_pairs)
 
 
-def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
-    """Sorted sweep & prune with a fixed forward window (SURVEY.md §2 C3).
+def _long_object_lane(bodies: Bodies, lo, hi, dynamic, k_long: int):
+    """Long-object dense lane shared by the windowed/grid/tiled sweeps.
 
-    The reference's sweep scans forward until the x-interval closes —
-    unbounded trip count.  The windowed form bounds it, which breaks for
-    *long* bodies (ground planes, slopes) whose interval stays open across
-    the whole axis: they would only ever pair with their first ``w`` sorted
-    neighbors.  Fix: the ``sap_long_k`` bodies with the largest x-extent are
-    pulled out of the sweep and tested densely against everything (K*N
-    AABB tests — exact and cheap for K<=16).  The window-truncation counter
-    then only fires for genuinely over-dense regular neighborhoods.
+    The ``sap_long_k`` bodies with the largest x-extent (ground planes,
+    slopes) are pulled out of the sweep and tested densely against
+    everything (K*N AABB tests — exact and cheap for K<=16): a long body's
+    x-interval stays open across the whole axis, which no fixed window can
+    cover (classic SAP long-object failure).  Returns
+    (d_pi, d_pj, d_valid, is_long) with (K, N)-shaped candidate grids.
     """
     n = bodies.capacity
-    w = min(cfg.sap_window, n - 1)
-    k_long = min(cfg.sap_long_k, n)
-    lo, hi = compute_aabbs(bodies)
-    dynamic = bodies.inv_mass > 0.0
-
-    # --- long-object lane: top-K by x-extent, dense vs all ---
     extent_x = jnp.where(bodies.active, hi[:, 0] - lo[:, 0], -jnp.inf)
     _, long_idx = jax.lax.top_k(extent_x, k_long)          # (K,)
     long_idx = long_idx.astype(jnp.int32)
@@ -156,6 +148,24 @@ def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
     d_valid = dox & doy & dact & ddyn & notself & dedupe
     d_pi = jnp.minimum(long_idx[:, None], jdx[None, :])
     d_pj = jnp.maximum(long_idx[:, None], jdx[None, :])
+    return d_pi, d_pj, d_valid, is_long
+
+
+def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
+    """Sorted sweep & prune with a fixed forward window (SURVEY.md §2 C3).
+
+    The reference's sweep scans forward until the x-interval closes —
+    unbounded trip count.  The windowed form bounds it; long bodies use the
+    dense lane (_long_object_lane).  The window-truncation counter then
+    only fires for genuinely over-dense regular neighborhoods.
+    """
+    n = bodies.capacity
+    w = min(cfg.sap_window, n - 1)
+    k_long = min(cfg.sap_long_k, n)
+    lo, hi = compute_aabbs(bodies)
+    dynamic = bodies.inv_mass > 0.0
+    d_pi, d_pj, d_valid, is_long = _long_object_lane(
+        bodies, lo, hi, dynamic, k_long)
 
     # --- windowed sweep over the remaining (regular) bodies ---
     sweep_act = bodies.active & ~is_long
@@ -200,6 +210,92 @@ def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
     pj = jnp.concatenate([pj.reshape(-1), d_pj.reshape(-1)])
     valid = jnp.concatenate([valid.reshape(-1), d_valid.reshape(-1)])
     return _finish(pi, pj, valid, missed, cfg.max_pairs)
+
+
+def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
+    """Scanned-window sweep & prune: the two-phase, gather-free XLA form.
+
+    The serial Pallas emission kernel (sweep_emit_v2) pays ~1.1 us of
+    scalar-pipeline overhead PER BODY regardless of hits; the original
+    windowed XLA sweep (broadphase_sap) pays for (w+1, n) row GATHERS
+    (~12 ns/row, serialized on TPU).  This variant has neither:
+
+      phase 1 (vector): ``lax.scan`` over the w window offsets; offset d
+        tests ALL bodies against their (d+1)-th sorted forward neighbor
+        with contiguous dynamic-slice loads (no gathers).  The carry holds
+        per-body hit counts and up to ``sap_hits`` hit positions, updated
+        with pure selects.
+      phase 2: one id-conversion gather of the n*sap_hits candidates plus
+        the usual lex-sort compaction (_finish).
+
+    Hits beyond sap_hits and windows still x-open at offset w are counted
+    as overflow, like every other variant.  Pure XLA: vmaps and shards
+    (the only broadphase beside n2 that composes with vmap'd env batches).
+    """
+    n = bodies.capacity
+    w = min(cfg.sap_window, n - 1)
+    H = min(cfg.sap_hits, w)
+    k_long = min(cfg.sap_long_k, n)
+    lo, hi = compute_aabbs(bodies)
+    dynamic = bodies.inv_mass > 0.0
+    d_pi, d_pj, d_valid, is_long = _long_object_lane(
+        bodies, lo, hi, dynamic, k_long)
+
+    sweep_act = bodies.active & ~is_long
+    keys = jnp.where(sweep_act, lo[:, 0], jnp.float32(jnp.inf))
+    order = jnp.argsort(keys).astype(jnp.int32)
+    slo = lo[order]
+    shi = hi[order]
+    sact = sweep_act[order]
+    sdyn = dynamic[order]
+
+    INF = jnp.float32(jnp.inf)
+    xlo_p = jnp.pad(slo[:, 0], (0, w + 1), constant_values=INF)
+    ylo_p = jnp.pad(slo[:, 1], (0, w + 1), constant_values=INF)
+    yhi_p = jnp.pad(shi[:, 1], (0, w + 1), constant_values=-INF)
+    act_p = jnp.pad(sact, (0, w + 1), constant_values=False)
+    dyn_p = jnp.pad(sdyn, (0, w + 1), constant_values=False)
+
+    src_hix = shi[:, 0]
+    src_loy = slo[:, 1]
+    src_hiy = shi[:, 1]
+    kpos = jnp.arange(n, dtype=jnp.int32)
+
+    def step_d(carry, d):
+        count, tgt = carry
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, d + 1, n)
+        ok = ((sl(xlo_p) <= src_hix) & (sl(ylo_p) <= src_hiy)
+              & (src_loy <= sl(yhi_p)) & sact & sl(act_p)
+              & (sdyn | sl(dyn_p)))
+        jpos = kpos + (d + 1)
+        tgt = tuple(
+            jnp.where(ok & (count == h), jpos, tgt[h]) for h in range(H))
+        return (count + ok.astype(jnp.int32), tgt), None
+
+    count0 = jnp.zeros((n,), jnp.int32)
+    tgt0 = tuple(jnp.full((n,), -1, jnp.int32) for _ in range(H))
+    (count, tgt), _ = jax.lax.scan(
+        step_d, (count0, tgt0), jnp.arange(w, dtype=jnp.int32))
+
+    # overflow accounting: hits beyond the H slots + windows still x-open
+    dropped = jnp.maximum(count - H, 0).sum(dtype=jnp.int32)
+    open_last = ((jax.lax.dynamic_slice_in_dim(xlo_p, w + 1, n) <= src_hix)
+                 & sact
+                 & jax.lax.dynamic_slice_in_dim(act_p, w + 1, n))
+    missed = open_last.sum(dtype=jnp.int32)
+
+    # sorted positions -> body ids (the only gather: n*H rows)
+    tgt_m = jnp.stack(tgt)                       # (H, n) positions or -1
+    valid = tgt_m >= 0
+    tgt_id = order[jnp.clip(tgt_m.reshape(-1), 0, n - 1)].reshape(H, n)
+    src_id = jnp.broadcast_to(order[None, :], (H, n))
+    pi = jnp.minimum(src_id, tgt_id)
+    pj = jnp.maximum(src_id, tgt_id)
+
+    pi = jnp.concatenate([pi.reshape(-1), d_pi.reshape(-1)])
+    pj = jnp.concatenate([pj.reshape(-1), d_pj.reshape(-1)])
+    vv = jnp.concatenate([valid.reshape(-1), d_valid.reshape(-1)])
+    return _finish(pi, pj, vv, missed + dropped, cfg.max_pairs)
 
 
 def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
@@ -247,27 +343,8 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     lo, hi = compute_aabbs(bodies)
     dynamic = bodies.inv_mass > 0.0
 
-    # --- long-object dense lane (top-K by x extent vs all bodies) ---
-    extent_x = jnp.where(bodies.active, hi[:, 0] - lo[:, 0], -jnp.inf)
-    _, long_idx = jax.lax.top_k(extent_x, k_long)
-    long_idx = long_idx.astype(jnp.int32)
-    is_long = jnp.zeros((n,), bool).at[long_idx].set(True) & bodies.active
-    long_rank = jnp.full((n,), -1, jnp.int32).at[long_idx].set(
-        jnp.arange(k_long, dtype=jnp.int32))
-    jdx = jnp.arange(n, dtype=jnp.int32)
-    l_lo, l_hi = lo[long_idx], hi[long_idx]
-    l_act = bodies.active[long_idx] & is_long[long_idx]
-    l_dyn = dynamic[long_idx]
-    dox = (l_lo[:, None, 0] <= hi[None, :, 0]) & (lo[None, :, 0] <= l_hi[:, None, 0])
-    doy = (l_lo[:, None, 1] <= hi[None, :, 1]) & (lo[None, :, 1] <= l_hi[:, None, 1])
-    dact = l_act[:, None] & bodies.active[None, :]
-    ddyn = l_dyn[:, None] | dynamic[None, :]
-    notself = long_idx[:, None] != jdx[None, :]
-    dedupe = (~is_long[None, :]) | (
-        long_rank[None, :] > jnp.arange(k_long, dtype=jnp.int32)[:, None])
-    d_valid = dox & doy & dact & ddyn & notself & dedupe
-    d_pi = jnp.minimum(long_idx[:, None], jdx[None, :])
-    d_pj = jnp.maximum(long_idx[:, None], jdx[None, :])
+    d_pi, d_pj, d_valid, is_long = _long_object_lane(
+        bodies, lo, hi, dynamic, k_long)
 
     # --- tiled sweep over the regular bodies in x-sorted position space ---
     sweep_act = bodies.active & ~is_long
@@ -315,6 +392,8 @@ def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
         return broadphase_n2(bodies, cfg)
     if cfg.broadphase == "sap_kernel":
         return broadphase_sap_kernel(bodies, cfg)
+    if cfg.broadphase == "sap_grid":
+        return broadphase_sap_grid(bodies, cfg)
     if cfg.broadphase == "sap_window":
         return broadphase_sap(bodies, cfg)
     if cfg.solver_backend == "pallas":
@@ -322,4 +401,7 @@ def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
                 <= 900 * 1024:
             return broadphase_sap_kernel(bodies, cfg)
         return broadphase_sap_tiled(bodies, cfg)
-    return broadphase_sap(bodies, cfg)
+    # XLA fallback: the scanned-window grid strictly dominates the gather-
+    # based windowed sweep (same window semantics and overflow accounting,
+    # no serialized row gathers) and composes with vmap.
+    return broadphase_sap_grid(bodies, cfg)

@@ -59,8 +59,14 @@ class SimConfig:
     #                pallas and it fits SMEM, else the windowed XLA sweep
     # "sap_window" : force the windowed XLA sweep
     # "sap_kernel" : force the Pallas emission kernel
+    # "sap_grid"   : force the scanned-window XLA sweep (vector tests +
+    #                per-body hit slots; no serial emission, vmap/shard-safe)
     broadphase: str = "sap"
     sap_window: int = 16            # forward neighbors examined per body
+    # Per-body forward-hit slots for the sap_grid variant.  A settled pile
+    # holds ~2.6 pairs/body; hits beyond sap_hits are counted as overflow
+    # (raise it like max_pairs).
+    sap_hits: int = 8
     # Bodies with the top-K largest x-extent (ground planes, slopes) are
     # excluded from the windowed sweep and tested densely vs all bodies:
     # a long body's x-interval stays open across the whole sweep, which a
@@ -96,7 +102,8 @@ class SimConfig:
     def __post_init__(self):
         if self.max_contacts < 2 * self.max_pairs:
             object.__setattr__(self, "max_contacts", 2 * self.max_pairs)
-        if self.broadphase not in ("n2", "sap", "sap_window", "sap_kernel"):
+        if self.broadphase not in ("n2", "sap", "sap_window", "sap_kernel",
+                                   "sap_grid"):
             raise ValueError(f"unknown broadphase {self.broadphase!r}")
         if self.solver_backend not in ("xla", "pallas"):
             raise ValueError(f"unknown solver_backend {self.solver_backend!r}")

@@ -176,3 +176,62 @@ def test_sap_kernel_v2_dense_matches_brute():
     pairs = broadphase_sap_kernel(bodies, cfg)
     assert got_pairs(pairs) == brute_pairs(bodies, 200)
     assert int(pairs.overflow) == 0
+
+
+def test_sap_grid_matches_brute():
+    from phyx_tpu.broadphase import broadphase_sap_grid
+    bodies = random_bodies(100, 128, seed=2, spread=40.0)
+    cfg = SimConfig(max_bodies=128, max_pairs=4096, sap_window=64,
+                    sap_hits=16)
+    pairs = broadphase_sap_grid(bodies, cfg)
+    assert got_pairs(pairs) == brute_pairs(bodies, 100)
+    assert int(pairs.overflow) == 0
+
+
+def test_sap_grid_dense_matches_brute():
+    """Dense cluster: many hits per body, exercises the hit-slot ceiling."""
+    from phyx_tpu.broadphase import broadphase_sap_grid
+    bodies = random_bodies(120, 128, seed=5, spread=6.0)
+    cfg = SimConfig(max_bodies=128, max_pairs=8192, sap_window=127,
+                    sap_hits=64)
+    pairs = broadphase_sap_grid(bodies, cfg)
+    assert got_pairs(pairs) == brute_pairs(bodies, 120)
+    assert int(pairs.overflow) == 0
+
+
+def test_sap_grid_hit_overflow_counted():
+    """More hits per body than sap_hits slots -> overflow counted, never
+    silently dropped."""
+    from phyx_tpu.broadphase import broadphase_sap_grid
+    bodies = random_bodies(120, 128, seed=5, spread=6.0)
+    cfg = SimConfig(max_bodies=128, max_pairs=8192, sap_window=127,
+                    sap_hits=2)
+    pairs = broadphase_sap_grid(bodies, cfg)
+    full = brute_pairs(bodies, 120)
+    got = got_pairs(pairs)
+    assert got <= full
+    assert int(pairs.overflow) >= len(full) - len(got)
+
+
+def test_sap_grid_long_object():
+    """Ground plane spanning the whole axis pairs with far boxes via the
+    dense lane."""
+    from phyx_tpu.broadphase import broadphase_sap_grid
+    cap = 64
+    b = Bodies.zeros(cap)
+    n = 10
+    pos = np.array([[i * 50.0, 0.4] for i in range(n - 1)] + [[0.0, -10.0]],
+                   np.float32)
+    h = np.array([[0.5, 0.5]] * (n - 1) + [[1000.0, 10.0]], np.float32)
+    inv = np.array([1.0] * (n - 1) + [0.0], np.float32)
+    bodies = b.replace(
+        pos=b.pos.at[:n].set(pos), half_extent=b.half_extent.at[:n].set(h),
+        inv_mass=b.inv_mass.at[:n].set(inv),
+        inv_inertia=b.inv_inertia.at[:n].set(inv),
+        active=b.active.at[:n].set(True))
+    cfg = SimConfig(max_bodies=cap, max_pairs=256, sap_window=4, sap_hits=4)
+    pairs = broadphase_sap_grid(bodies, cfg)
+    got = got_pairs(pairs)
+    # ground (index 9, y in [-20, 0]) overlaps boxes at y in [-0.1, 0.9]
+    want = {(i, 9) for i in range(9)}
+    assert want <= got
