@@ -38,22 +38,31 @@ NORTH_STAR_STEPS_PER_SEC = 1000.0
 
 def build_envs(num_envs: int, boxes_per_env: int, backend: str):
     """Config E (BASELINE.json:11): independent scenes as one block-diagonal
-    mega-scene (parallel/envs.py)."""
+    mega-scene (parallel/envs.py).
+
+    Envs sit on a 2D band grid (y_bands=8): a pure x-line at 4096 envs
+    would put bodies at |x| ~ 2M where the f32 ulp (0.25) exceeds the
+    contact slop (0.01) and quantizes the physics.  Grid coordinates stay
+    under ~21k (ulp 0.002)."""
     from phyx_tpu.parallel.envs import concat_envs
     total = num_envs * (boxes_per_env + 1) + 8
-    cap = 1
-    while cap < total:
-        cap *= 2
+    cap = max(1024, -(-total // 1024) * 1024)
     cfg = SimConfig(
         max_bodies=cap,
-        max_pairs=max(1024, (num_envs * boxes_per_env * 4 + 511) // 512 * 512),
+        max_pairs=max(1024,
+                      (int(num_envs * boxes_per_env * 3.2) + 511)
+                      // 512 * 512),
         broadphase="sap",
         sap_window=96,
         solver_backend=backend,
     )
-    builders = [scenes.pile(cfg, boxes_per_env, seed=s, ground_half=200.0)
+    # a 256-box pile is ~23 columns (~24 units) wide: ground_half 30 and
+    # band_width 80 leave cross-band gaps; piles are ~15 tall -> y 400
+    y_bands = 8 if num_envs >= 64 else 1
+    builders = [scenes.pile(cfg, boxes_per_env, seed=s, ground_half=30.0)
                 for s in range(num_envs)]
-    mega, _, _ = concat_envs(builders, cfg, band_width=1000.0)
+    mega, _, _ = concat_envs(builders, cfg, band_width=80.0,
+                             y_bands=y_bands, band_height=400.0)
     return cfg, mega.build()
 
 

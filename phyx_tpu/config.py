@@ -93,6 +93,13 @@ class SimConfig:
     tile_stride: int = 16384
     tile_halo: int = 2048
 
+    # --- adaptive iteration (0.0 = off, exact fixed-count semantics) ---
+    # When > 0: once a velocity iteration's residual (max |impulse delta|)
+    # falls below this, the remaining velocity iterations are skipped.
+    # Saves most of the solve on settled scenes; changes results only
+    # below the tolerance.  Position iterations are never gated.
+    velocity_tol: float = 0.0
+
     # --- solver backend ---
     # "xla"    : pure-XLA gather/scatter sweeps (always available, the
     #            correctness fallback per SURVEY.md §7.6)

@@ -47,7 +47,7 @@ def _use_interpret() -> bool:
 
 
 def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
-                   j_cap: int = 0):
+                   j_cap: int = 0, vel_tol: float = 0.0):
     """Build the kernel body with static iteration counts / capacities.
 
     Row slots [0, c_cap) are contacts; slots [c_cap, c_cap + j_cap) are
@@ -56,9 +56,10 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
     """
 
     def kern(num_ref, b1_ref, b2_ref, con_ref, warm_ref, body_in_ref,
-             body_ref, acc_ref, res_ref):
+             body_ref, acc_ref, res_ref, conv_ref):
         num = num_ref[0]
         numj = num_ref[1]
+        conv_ref[0] = 0
 
         # -- copy body state into the writable SMEM output --
         def cpy(i, _):
@@ -284,10 +285,25 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
                 body_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
                 return jnp.maximum(res, jnp.abs(d))
 
-            res = jax.lax.fori_loop(0, num, one, jnp.float32(0.0))
-            res_ref[0] = res   # overwritten each iter -> last iter's value
-            if j_cap:
-                jax.lax.fori_loop(0, numj, joint_vel_one, 0)
+            def run_sweep():
+                res = jax.lax.fori_loop(0, num, one, jnp.float32(0.0))
+                res_ref[0] = res   # overwritten -> last EXECUTED iter's
+                if j_cap:
+                    jax.lax.fori_loop(0, numj, joint_vel_one, 0)
+                if vel_tol > 0.0:
+                    @pl.when(res_ref[0] < vel_tol)
+                    def _():
+                        conv_ref[0] = 1
+
+            if vel_tol > 0.0:
+                # residual-gated early exit: once an iteration's residual
+                # (contacts + joints) drops below vel_tol, the remaining
+                # velocity iterations are skipped (cfg.velocity_tol)
+                @pl.when(conv_ref[0] == 0)
+                def _():
+                    run_sweep()
+            else:
+                run_sweep()
             return carry
         jax.lax.fori_loop(0, vel_iters, vel_iter, 0)
 
@@ -342,7 +358,7 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
 
 
 @functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters",
-                                             "j_cap"))
+                                             "j_cap", "vel_tol"))
 def solve_contacts_fused(
     body_flat: jax.Array,    # (N*8,) f32
     b1: jax.Array,           # (C+J,) int32
@@ -354,6 +370,7 @@ def solve_contacts_fused(
     pos_iters: int,
     num_joints: jax.Array | None = None,   # () int32
     j_cap: int = 0,
+    vel_tol: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (body_flat', acc ((C+J)*4,), residual (1,)).
 
@@ -361,7 +378,8 @@ def solve_contacts_fused(
     (joints.py encodings), swept after the contacts in every pass."""
     n_cap = body_flat.shape[0] // 8
     c_cap = b1.shape[0] - j_cap
-    kern = _solver_kernel(vel_iters, pos_iters, c_cap, n_cap, j_cap)
+    kern = _solver_kernel(vel_iters, pos_iters, c_cap, n_cap, j_cap,
+                          vel_tol)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     if num_joints is None:
         num_joints = jnp.zeros((), jnp.int32)
@@ -376,6 +394,7 @@ def solve_contacts_fused(
         ),
         in_specs=[smem] * 6,
         out_specs=(smem, smem, smem),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=_use_interpret(),
     )(nums, b1, b2, con_flat, warm_flat, body_flat)
     return body_out, acc, res

@@ -56,7 +56,7 @@ def _use_interpret() -> bool:
 
 
 def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
-                     n_cap: int, c_blocks: int):
+                     n_cap: int, c_blocks: int, vel_tol: float = 0.0):
     """Pass p: 0 = warm start, 1..vel_iters = velocity, rest = position.
     Blocks [0, c_blocks) hold contact rows; [c_blocks, n_blocks) hold
     user-joint rows (compiled away when c_blocks == n_blocks)."""
@@ -72,12 +72,14 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
              acc_hbm,                     # out ANY (C*4,) f32
              res_ref,                     # out (1,) f32 SMEM
              body_ref, body_sem,          # SMEM body working set + its DMA sem
+             conv_ref,                    # SMEM (1,) i32 early-exit flag
              b1_a, b2_a, con_a, warm_a, acc_a, sem_a, osem_a,
              b1_b, b2_b, con_b, warm_b, acc_b, sem_b, osem_b):
         del body_io_hbm  # aliased with body_hbm; all HBM access via body_hbm
         num = num_ref[0]
         numj = num_ref[1]
         res_ref[0] = 0.0
+        conv_ref[0] = 0
 
         # Body state: one whole-array DMA into SMEM (stays resident for the
         # entire solve), written back after the last pass.
@@ -409,9 +411,10 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
 
             wait_block(cur, b)
 
-            # Residual reports the LAST velocity pass: reset at the start
-            # of every velocity pass.
-            @pl.when((b == 0) & (p >= 1) & (p <= vel_iters))
+            # Residual reports the LAST EXECUTED velocity pass: reset at
+            # the start of every velocity pass (unless early-exited).
+            @pl.when((b == 0) & (p >= 1) & (p <= vel_iters)
+                     & (conv_ref[0] == 0))
             def _():
                 res_ref[0] = 0.0
 
@@ -421,6 +424,18 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
             # slots >= num are exact no-ops (warm = 0, masses = 0, clamped
             # body ids).
             kind = jnp.where(p == 0, 0, jnp.where(p <= vel_iters, 1, 2))
+
+            def gated_vel(f):
+                # residual-gated early exit (cfg.velocity_tol): skip the
+                # velocity SWEEP once converged; the DMA pipeline runs on
+                # (a skipped pass costs only its ~us of streaming)
+                if vel_tol > 0.0:
+                    @pl.when(conv_ref[0] == 0)
+                    def _():
+                        f()
+                else:
+                    f()
+
             if has_joints:
                 is_j = (b >= c_blocks).astype(jnp.int32)
                 cnt = jnp.where(
@@ -429,19 +444,26 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                     jnp.clip(num - b * BLK, 0, BLK))
                 jax.lax.switch(kind + 3 * is_j, [
                     lambda: warm_sweep(cur, BLK),
-                    lambda: vel_sweep(cur, cnt),
+                    lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
                     lambda: pos_sweep(cur, cnt),
                     lambda: joint_warm_sweep(cur, BLK),
-                    lambda: joint_vel_sweep(cur, cnt),
+                    lambda: gated_vel(lambda: joint_vel_sweep(cur, cnt)),
                     lambda: joint_pos_sweep(cur, cnt),
                 ])
             else:
                 cnt = jnp.clip(num - b * BLK, 0, BLK)
                 jax.lax.switch(kind, [
                     lambda: warm_sweep(cur, BLK),
-                    lambda: vel_sweep(cur, cnt),
+                    lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
                     lambda: pos_sweep(cur, cnt),
                 ])
+
+            if vel_tol > 0.0:
+                # end of a velocity pass: latch convergence
+                @pl.when((b == n_blocks - 1) & (p >= 1) & (p <= vel_iters)
+                         & (res_ref[0] < vel_tol))
+                def _():
+                    conv_ref[0] = 1
 
             acc_out_copy(cur, b).start()
 
@@ -475,7 +497,7 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
 
 
 @functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters",
-                                              "c_cap"))
+                                              "c_cap", "vel_tol"))
 def solve_contacts_streamed(
     body_flat: jax.Array,    # (N*8,) f32
     b1: jax.Array,           # (R,) int32, R multiple of BLK, R >= 2*BLK
@@ -487,6 +509,7 @@ def solve_contacts_streamed(
     pos_iters: int,
     num_joints: Optional[jax.Array] = None,  # () int32
     c_cap: Optional[int] = None,  # contact rows; joint rows at [c_cap, R)
+    vel_tol: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (body_flat', acc (R*4,), residual (1,)).
 
@@ -503,7 +526,8 @@ def solve_contacts_streamed(
     assert r_cap % BLK == 0, r_cap
     n_blocks = r_cap // BLK
     c_blocks = c_cap // BLK
-    kern = _streamed_kernel(vel_iters, pos_iters, n_blocks, n_cap, c_blocks)
+    kern = _streamed_kernel(vel_iters, pos_iters, n_blocks, n_cap, c_blocks,
+                            vel_tol)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
 
@@ -534,7 +558,8 @@ def solve_contacts_streamed(
         out_specs=(anyspec, anyspec, smem),
         input_output_aliases={5: 0},   # body_flat HBM buffer reused as output
         scratch_shapes=([pltpu.SMEM((n_cap * 8,), jnp.float32),
-                         pltpu.SemaphoreType.DMA]
+                         pltpu.SemaphoreType.DMA,
+                         pltpu.SMEM((1,), jnp.int32)]
                         + bufset() + bufset()),
         interpret=_use_interpret(),
     )(nums, b1, b2, con_flat, warm_flat, body_flat)

@@ -35,26 +35,41 @@ from phyx_tpu.world import SceneBuilder
 
 
 def concat_envs(builders: Sequence[SceneBuilder], cfg: SimConfig,
-                band_width: float = 1.0e4):
+                band_width: float = 1.0e4, y_bands: int = 1,
+                band_height: float = 0.0):
     """Merge per-env SceneBuilders into one mega SceneBuilder.
 
-    Env ``e`` is translated by ``(e - E/2) * band_width`` in x; with
-    ``band_width`` larger than any env's extent the broadphase can never
-    pair bodies across envs.  Returns ``(mega_builder, env_slices,
-    offsets)`` where ``env_slices[e]`` indexes env e's bodies in the mega
-    body arrays and ``offsets[e]`` is its (x, y) translation (subtract to
-    recover env-local positions).
+    Env ``e`` is translated to a band-grid cell: x band ``e // y_bands``
+    (spacing ``band_width``) and y band ``e % y_bands`` (spacing
+    ``band_height``).  With bands larger than any env's extent the
+    broadphase can never pair bodies across envs.
+
+    ``y_bands > 1`` exists for LARGE env counts (config E, 4096 envs): a
+    pure x-line at thousands of envs pushes |x| past 2^21 where the f32
+    ulp (~0.25) exceeds the contact slop and quantizes the physics; a
+    grid keeps every coordinate small.  The only cost is x-sweep density
+    (bodies of y-stacked envs share x-intervals and are rejected by the
+    y-test), which the dynamic-trip tiled sweep absorbs.
+
+    Returns ``(mega_builder, env_slices, offsets)`` where
+    ``env_slices[e]`` indexes env e's bodies in the mega body arrays and
+    ``offsets[e]`` is its (x, y) translation (subtract to recover
+    env-local positions).
     """
+    if y_bands > 1 and band_height <= 0.0:
+        raise ValueError("y_bands > 1 requires band_height > 0")
     mega = SceneBuilder(cfg)
     slices: List[slice] = []
     offsets = np.zeros((len(builders), 2), np.float32)
-    e0 = len(builders) / 2.0
+    x_count = -(-len(builders) // y_bands)
+    x0 = x_count / 2.0
     for e, sb in enumerate(builders):
-        dx = (e - e0) * band_width
-        offsets[e, 0] = dx
+        dx = (e // y_bands - x0) * band_width
+        dy = (e % y_bands) * band_height
+        offsets[e] = (dx, dy)
         start = mega.num_bodies
         for r in sb._rows:
-            mega._rows.append({**r, "pos": r["pos"] + np.array([dx, 0.0])})
+            mega._rows.append({**r, "pos": r["pos"] + np.array([dx, dy])})
         for j in sb._joints:
             mega._joints.append({**j, "b1": j["b1"] + start,
                                  "b2": j["b2"] + start})

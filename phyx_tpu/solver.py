@@ -154,11 +154,19 @@ def solve_velocity(bodies: Bodies, contacts: Contacts, cfg: SimConfig
         res = jnp.maximum(res, jnp.max(jnp.abs(d)))
         return vel, angvel, an, at, res
 
-    def iteration(_, carry):
-        vel, angvel, an, at, _ = carry
-        # reset residual: the reported value is the final iteration's
-        carry = (vel, angvel, an, at, jnp.float32(0.0))
-        return jax.lax.fori_loop(0, cfg.num_colors, color_sweep, carry)
+    def iteration(it, carry):
+        def run(carry):
+            vel, angvel, an, at, _ = carry
+            # reset residual: the reported value is the last EXECUTED one's
+            carry = (vel, angvel, an, at, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, cfg.num_colors, color_sweep, carry)
+
+        if cfg.velocity_tol <= 0.0:
+            return run(carry)
+        # residual-gated early exit (cfg.velocity_tol): the first
+        # iteration always runs (res starts at +inf sentinel via it == 0)
+        converged = (it > 0) & (carry[4] < cfg.velocity_tol)
+        return jax.lax.cond(converged, lambda c: c, run, carry)
 
     init = (bodies.vel, bodies.angvel, contacts.warm_n, contacts.warm_t,
             jnp.float32(0.0))
@@ -255,13 +263,13 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
         body_out, acc, res = solve_contacts_streamed(
             body_flat, b1, b2, con_flat, warm_flat,
             num_contacts, cfg.velocity_iterations, cfg.position_iterations,
-            num_joints=num_joints, c_cap=c)
+            num_joints=num_joints, c_cap=c, vel_tol=cfg.velocity_tol)
         acc = acc.reshape(c + j_cap + j_pad, 4)
     else:
         body_out, acc, res = solve_contacts_fused(
             body_flat, b1, b2, con_flat, warm_flat,
             num_contacts, cfg.velocity_iterations, cfg.position_iterations,
-            num_joints=num_joints, j_cap=j_cap)
+            num_joints=num_joints, j_cap=j_cap, vel_tol=cfg.velocity_tol)
         acc = acc.reshape(c + j_cap, 4)
 
     body_out = body_out.reshape(n, 8)

@@ -54,3 +54,24 @@ def test_concat_envs_local_positions_roundtrip():
     assert len(locals_) == 3
     for loc in locals_:
         assert np.abs(loc[:, 0]).max() < 150.0
+
+
+def test_concat_envs_band_grid():
+    """2D band grid (y_bands > 1): envs stay in their own cells, no
+    cross-env pairing (the config-E layout at 4096 envs, where a pure
+    x-line would exceed f32 precision)."""
+    builders = [scenes.pile(CFG, 10, seed=s, ground_half=50.0)
+                for s in range(8)]
+    from phyx_tpu.parallel.envs import concat_envs
+    mega, env_slices, offsets = concat_envs(
+        builders, CFG, band_width=150.0, y_bands=4, band_height=300.0)
+    st = mega.build()
+    st = rollout(st, CFG, 80)
+    assert int(st.stats.pair_overflow) == 0
+    assert float(st.stats.max_penetration) < 0.05
+    pos = np.asarray(st.bodies.pos)
+    for e, s in enumerate(env_slices):
+        local = pos[s] - offsets[e]
+        assert np.abs(local[:, 0]).max() < 75.0, f"env {e} left its x band"
+        assert -25.0 < local[:, 1].min() and local[:, 1].max() < 150.0, \
+            f"env {e} left its y band"
