@@ -10,28 +10,28 @@ sequentially within every pass, so Gauss-Seidel ordering is preserved
 globally — the halo region of slab s is written back before slab s+1
 reads it.
 
+USER JOINTS (round 2): each slab's block range is [contact blocks ×
+blocks_per_slab_c][joint blocks × blocks_per_slab_j]; joint rows
+(encodings in joints.py) are routed to slabs exactly like contacts (both
+endpoints inside the slab window, violations clamped + counted) and swept
+after that slab's contacts in every pass.  blocks_per_slab_j == 0
+compiles all joint handling away.  Each slot carries 4 accumulator floats
+(contacts: normal/tangent/displacement; joints: velocity impulse x,y +
+displacement impulse x,y).
+
 Caller contract (solver.solve_pallas_tiled):
   * body rows permuted by x-rank; slab s's window = rows
     [s*K, s*K + W) with K = slab stride, W = window (both multiples of
     128 so the (rows*8) f32 DMA offsets hit the 1024-element tile).
-  * contacts sorted by slab, each slab's range padded to BLK-multiples
-    (dead slots are exact no-ops); slab ranges passed in block units.
-  * every contact's two bodies lie inside its slab's window (caller
-    counts violations and routes them to slab of min rank — with
-    W - K >= max contact span in rank space this cannot drop pairs;
-    the caller's overflow counter reports any clamped stragglers).
-  * static bodies (inv_mass = 0) are EXCLUDED from windows' write-back
-    correctness concerns: they are never written, so a long static body
-    (ground) may be referenced from any slab — its local index is clamped
-    into the window and its velocity reads as whatever row sits there,
-    which is safe ONLY because the caller rewrites static partners'
-    velocity contribution to zero... it does NOT.  Instead the caller
-    must place static bodies' rows INSIDE every window they are touched
-    from; since that is impossible for one global ground, the caller
-    instead remaps each contact's static partner to a per-slab REPLICA
-    row (see solver.py _tiled_static_replicas): replicas carry the static
-    body's (zero) velocity and inv masses and are appended inside each
-    window, so reads are exact and writes are no-ops that land in padding.
+  * contact/joint rows sorted by slab, each slab's range padded to
+    BLK-multiples (dead slots are exact no-ops); live counts per slab in
+    ``slab_counts`` ((2*n_slabs,) i32: contacts then joints).
+  * every row's two bodies lie inside its slab's window; the caller
+    counts violations and clamps.
+  * bodies whose row equals the zero row (statics at rest) may be
+    remapped by the caller to the slab's 128-row zero block, so a global
+    ground never forces a giant window; kinematic statics keep their
+    real rows (solver.py).
 """
 
 from __future__ import annotations
@@ -52,13 +52,16 @@ def _use_interpret() -> bool:
 
 
 def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
-                  blocks_per_slab: int, window_rows: int, slab_stride: int):
+                  cbps: int, jbps: int, window_rows: int, slab_stride: int):
     """Pass p: 0 = warm start, 1..vel_iters = velocity, rest = position.
-    Global order: pass -> slab -> contact block (sequential GS)."""
+    Global order: pass -> slab -> contact blocks -> joint blocks
+    (sequential GS)."""
 
     n_passes = 1 + vel_iters + pos_iters
+    bps = cbps + jbps
+    has_joints = jbps > 0
 
-    def kern(num_ref,                 # (n_slabs,) i32 SMEM live slots/slab
+    def kern(num_ref,                 # (2*n_slabs,) i32 SMEM live/slab (c, j)
              b1_hbm, b2_hbm, con_hbm, warm_hbm,   # ANY (HBM)
              body_io_hbm, body_hbm, acc_hbm, res_ref,
              win_ref, win_sem,        # SMEM window + DMA sem
@@ -85,7 +88,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             off = pl.multiple_of(blk * BLK, BLK)
             off12 = pl.multiple_of(blk * (BLK * 12), BLK)
             off2 = pl.multiple_of(blk * (BLK * 2), BLK)
-            off3 = pl.multiple_of(blk * (BLK * 3), BLK)
+            off4 = pl.multiple_of(blk * (BLK * 4), BLK)
             return (
                 pltpu.make_async_copy(b1_hbm.at[pl.ds(off, BLK)], b1r,
                                       sem.at[0]),
@@ -95,14 +98,14 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                                       conr, sem.at[2]),
                 pltpu.make_async_copy(warm_hbm.at[pl.ds(off2, BLK * 2)],
                                       warmr, sem.at[3]),
-                pltpu.make_async_copy(acc_hbm.at[pl.ds(off3, BLK * 3)],
+                pltpu.make_async_copy(acc_hbm.at[pl.ds(off4, BLK * 4)],
                                       accr, sem.at[4]),
             )
 
         def acc_out_copy(bufs, blk):
-            off3 = pl.multiple_of(blk * (BLK * 3), BLK)
+            off4 = pl.multiple_of(blk * (BLK * 4), BLK)
             return pltpu.make_async_copy(
-                bufs[4], acc_hbm.at[pl.ds(off3, BLK * 3)], bufs[6])
+                bufs[4], acc_hbm.at[pl.ds(off4, BLK * 4)], bufs[6])
 
         def start_block(bufs, blk):
             for cp in in_copies(bufs, blk):
@@ -141,9 +144,10 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 win_ref[j] = win_ref[j] + px * im2
                 win_ref[j + 1] = win_ref[j + 1] + py * im2
                 win_ref[j + 2] = win_ref[j + 2] + ii2 * (r2x * py - r2y * px)
-                accr[k * 3] = wn
-                accr[k * 3 + 1] = wt
-                accr[k * 3 + 2] = 0.0
+                accr[k * 4] = wn
+                accr[k * 4 + 1] = wt
+                accr[k * 4 + 2] = 0.0
+                accr[k * 4 + 3] = 0.0
                 return 0
             jax.lax.fori_loop(0, BLK, one, 0)
 
@@ -178,10 +182,10 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
                 vn = nx * dvx + ny * dvy
                 d = (dstv - vn) * mn
-                a = accr[k * 3]
+                a = accr[k * 4]
                 na = jnp.maximum(a + d, 0.0)
                 d = na - a
-                accr[k * 3] = na
+                accr[k * 4] = na
                 px = nx * d
                 py = ny * d
                 vx1 -= px * im1
@@ -195,11 +199,11 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
                 vt = -ny * dvx + nx * dvy
                 d = -vt * mt
-                a = accr[k * 3 + 1]
+                a = accr[k * 4 + 1]
                 mf = fr * na
                 ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
                 d = ta - a
-                accr[k * 3 + 1] = ta
+                accr[k * 4 + 1] = ta
                 px = -ny * d
                 py = nx * d
                 win_ref[i] = vx1 - px * im1
@@ -242,10 +246,10 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 dvy = py2 + q2 * r2x - py1 - q1 * r1x
                 vn = nx * dvx + ny * dvy
                 d = (ddv - vn) * mn
-                a = accr[k * 3 + 2]
+                a = accr[k * 4 + 2]
                 na = jnp.maximum(a + d, 0.0)
                 d = na - a
-                accr[k * 3 + 2] = na
+                accr[k * 4 + 2] = na
                 ix = nx * d
                 iy = ny * d
                 win_ref[i + 5] = px1 - ix * im1
@@ -257,13 +261,133 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 return 0
             jax.lax.fori_loop(0, cnt, one, 0)
 
+        # --- user-joint sweeps (row encodings: joints.py; math mirrors
+        # the streamed kernel's joint sweeps, window-local indices) ---
+
+        def joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, off):
+            im1 = win_ref[i + 3]
+            ii1 = win_ref[i + 4]
+            im2 = win_ref[j + 3]
+            ii2 = win_ref[j + 4]
+            win_ref[i + off] = win_ref[i + off] - px * im1
+            win_ref[i + off + 1] = win_ref[i + off + 1] - py * im1
+            win_ref[i + off + 2] = (win_ref[i + off + 2]
+                                    - ii1 * (r1x * py - r1y * px))
+            win_ref[j + off] = win_ref[j + off] + px * im2
+            win_ref[j + off + 1] = win_ref[j + off + 1] + py * im2
+            win_ref[j + off + 2] = (win_ref[j + off + 2]
+                                    + ii2 * (r2x * py - r2y * px))
+
+        def joint_geom(conr, cb):
+            kind = conr[cb + 11]
+            is_rev = kind == 1.0
+            r1x = jnp.where(is_rev, conr[cb], conr[cb + 2])
+            r1y = jnp.where(is_rev, conr[cb + 1], conr[cb + 3])
+            r2x = jnp.where(is_rev, conr[cb + 2], conr[cb + 4])
+            r2y = jnp.where(is_rev, conr[cb + 3], conr[cb + 5])
+            return is_rev, r1x, r1y, r2x, r2y
+
+        def joint_warm_sweep(bufs, base):
+            b1r, b2r, conr, warmr, accr = bufs[:5]
+
+            def one(k, _):
+                cb = k * 12
+                is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
+                wx = warmr[k * 2]
+                wy = warmr[k * 2 + 1]
+                px = jnp.where(is_rev, wx, conr[cb] * wx)
+                py = jnp.where(is_rev, wy, conr[cb + 1] * wx)
+                i = (b1r[k] - base) * 8
+                j = (b2r[k] - base) * 8
+                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
+                accr[k * 4] = wx
+                accr[k * 4 + 1] = jnp.where(is_rev, wy, 0.0)
+                accr[k * 4 + 2] = 0.0
+                accr[k * 4 + 3] = 0.0
+                return 0
+            jax.lax.fori_loop(0, BLK, one, 0)
+
+        def joint_vel_sweep(bufs, base, cnt):
+            b1r, b2r, conr, warmr, accr = bufs[:5]
+
+            def one(k, _):
+                cb = k * 12
+                is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
+                i = (b1r[k] - base) * 8
+                j = (b2r[k] - base) * 8
+                vx1 = win_ref[i]
+                vy1 = win_ref[i + 1]
+                w1 = win_ref[i + 2]
+                vx2 = win_ref[j]
+                vy2 = win_ref[j + 1]
+                w2 = win_ref[j + 2]
+                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                m00 = conr[cb + 4]
+                m01 = conr[cb + 5]
+                m11 = conr[cb + 6]
+                px_r = -(m00 * dvx + m01 * dvy)
+                py_r = -(m01 * dvx + m11 * dvy)
+                nx = conr[cb]
+                ny = conr[cb + 1]
+                dd = -(conr[cb + 6]) * (nx * dvx + ny * dvy)
+                px = jnp.where(is_rev, px_r, nx * dd)
+                py = jnp.where(is_rev, py_r, ny * dd)
+                accr[k * 4] = accr[k * 4] + jnp.where(is_rev, px, dd)
+                accr[k * 4 + 1] = accr[k * 4 + 1] + jnp.where(
+                    is_rev, py, 0.0)
+                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
+                res_ref[0] = jnp.maximum(
+                    res_ref[0], jnp.maximum(jnp.abs(px), jnp.abs(py)))
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
+        def joint_pos_sweep(bufs, base, cnt):
+            b1r, b2r, conr, warmr, accr = bufs[:5]
+
+            def one(k, _):
+                cb = k * 12
+                is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
+                i = (b1r[k] - base) * 8
+                j = (b2r[k] - base) * 8
+                px1 = win_ref[i + 5]
+                py1 = win_ref[i + 6]
+                q1 = win_ref[i + 7]
+                px2 = win_ref[j + 5]
+                py2 = win_ref[j + 6]
+                q2 = win_ref[j + 7]
+                dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                m00 = conr[cb + 4]
+                m01 = conr[cb + 5]
+                m11 = conr[cb + 6]
+                dstx = conr[cb + 7]
+                dsty = conr[cb + 8]
+                ex = dstx - dvx
+                ey = dsty - dvy
+                px_r = m00 * ex + m01 * ey
+                py_r = m01 * ex + m11 * ey
+                nx = conr[cb]
+                ny = conr[cb + 1]
+                dd = conr[cb + 6] * (conr[cb + 7]
+                                     - (nx * dvx + ny * dvy))
+                px = jnp.where(is_rev, px_r, nx * dd)
+                py = jnp.where(is_rev, py_r, ny * dd)
+                accr[k * 4 + 2] = accr[k * 4 + 2] + jnp.where(
+                    is_rev, px, dd)
+                accr[k * 4 + 3] = accr[k * 4 + 3] + jnp.where(
+                    is_rev, py, 0.0)
+                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 5)
+                return 0
+            jax.lax.fori_loop(0, cnt, one, 0)
+
         # --- orchestration: pass -> slab -> block; contact double-buffer
         # across blocks, synchronous window DMA per (pass, slab) ---
 
         def do_block(g, cur, nxt, p, s, bi):
             """g = global block step index (for buffer hazard bookkeeping);
             bi = block-within-slab; global block id = s*bps + bi."""
-            blk = s * blocks_per_slab + bi
+            blk = s * bps + bi
             base = s * slab_stride
 
             @pl.when(g + 1 < total_blocks)
@@ -280,27 +404,43 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             def _():
                 res_ref[0] = 0.0
 
-            cnt = jnp.clip(num_ref[s] - bi * BLK, 0, BLK)
             kind = jnp.where(p == 0, 0, jnp.where(p <= vel_iters, 1, 2))
-            jax.lax.switch(kind, [
-                lambda: warm_sweep(cur, base),
-                lambda: vel_sweep(cur, base, cnt),
-                lambda: pos_sweep(cur, base, cnt),
-            ])
+            if has_joints:
+                is_j = (bi >= cbps).astype(jnp.int32)
+                cnt = jnp.where(
+                    is_j == 1,
+                    jnp.clip(num_ref[n_slabs + s] - (bi - cbps) * BLK,
+                             0, BLK),
+                    jnp.clip(num_ref[s] - bi * BLK, 0, BLK))
+                jax.lax.switch(kind + 3 * is_j, [
+                    lambda: warm_sweep(cur, base),
+                    lambda: vel_sweep(cur, base, cnt),
+                    lambda: pos_sweep(cur, base, cnt),
+                    lambda: joint_warm_sweep(cur, base),
+                    lambda: joint_vel_sweep(cur, base, cnt),
+                    lambda: joint_pos_sweep(cur, base, cnt),
+                ])
+            else:
+                cnt = jnp.clip(num_ref[s] - bi * BLK, 0, BLK)
+                jax.lax.switch(kind, [
+                    lambda: warm_sweep(cur, base),
+                    lambda: vel_sweep(cur, base, cnt),
+                    lambda: pos_sweep(cur, base, cnt),
+                ])
 
             acc_out_copy(cur, blk).start()
 
-        total_per_pass = n_slabs * blocks_per_slab
+        total_per_pass = n_slabs * bps
         total_blocks = n_passes * total_per_pass
 
         def _blk_of(g):
             return jax.lax.rem(g, total_per_pass)
 
         def _slab_of(g):
-            return _blk_of(g) // blocks_per_slab
+            return _blk_of(g) // bps
 
         def _bi_of(g):
-            return jax.lax.rem(_blk_of(g), blocks_per_slab)
+            return jax.lax.rem(_blk_of(g), bps)
 
         def _pass_of(g):
             return g // total_per_pass
@@ -354,27 +494,33 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
 
 @functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters",
                                              "n_slabs", "slab_stride",
-                                             "window_rows"))
+                                             "window_rows", "jbps"))
 def solve_contacts_tiled(
     body_flat: jax.Array,    # (Npad*8,) f32, x-rank permuted, Npad mult 128
-    b1: jax.Array,           # (C,) int32 rank-space, slab-sorted+padded
-    b2: jax.Array,           # (C,) int32
-    con_flat: jax.Array,     # (C*12,) f32
-    warm_flat: jax.Array,    # (C*2,) f32
-    slab_counts: jax.Array,  # (n_slabs,) int32 live slots per slab
+    b1: jax.Array,           # (S,) int32 rank-space, slab-sorted+padded
+    b2: jax.Array,           # (S,) int32
+    con_flat: jax.Array,     # (S*12,) f32
+    warm_flat: jax.Array,    # (S*2,) f32
+    slab_counts: jax.Array,  # (2*n_slabs,) i32 live contact/joint per slab
     vel_iters: int,
     pos_iters: int,
     n_slabs: int,
     slab_stride: int,        # rows between slab window starts (mult 128)
     window_rows: int,        # rows per window (mult 128)
+    jbps: int = 0,           # joint blocks per slab (after the contacts)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (body_flat', acc (C*3,), residual (1,))."""
-    c_cap = b1.shape[0]
-    assert c_cap % (n_slabs * BLK) == 0
-    blocks_per_slab = c_cap // (n_slabs * BLK)
+    """Returns (body_flat', acc (S*4,), residual (1,)).
+
+    Slot layout per slab: ``cbps`` contact blocks then ``jbps`` joint
+    blocks, where cbps = S/(n_slabs*BLK) - jbps."""
+    s_cap = b1.shape[0]
+    assert s_cap % (n_slabs * BLK) == 0
+    bps = s_cap // (n_slabs * BLK)
+    cbps = bps - jbps
+    assert cbps >= 1
     npad = body_flat.shape[0] // 8
     assert (n_slabs - 1) * slab_stride + window_rows <= npad
-    kern = _tiled_kernel(vel_iters, pos_iters, n_slabs, blocks_per_slab,
+    kern = _tiled_kernel(vel_iters, pos_iters, n_slabs, cbps, jbps,
                          window_rows, slab_stride)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -385,7 +531,7 @@ def solve_contacts_tiled(
             pltpu.SMEM((BLK,), jnp.int32),
             pltpu.SMEM((BLK * 12,), jnp.float32),
             pltpu.SMEM((BLK * 2,), jnp.float32),
-            pltpu.SMEM((BLK * 3,), jnp.float32),
+            pltpu.SMEM((BLK * 4,), jnp.float32),
             pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA,
         ]
@@ -394,7 +540,7 @@ def solve_contacts_tiled(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((npad * 8,), jnp.float32),
-            jax.ShapeDtypeStruct((c_cap * 3,), jnp.float32),
+            jax.ShapeDtypeStruct((s_cap * 4,), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
         in_specs=[smem, anyspec, anyspec, anyspec, anyspec, anyspec],

@@ -284,29 +284,74 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
     return bodies, acc[:c, 0], acc[:c, 1], res[0], joint_accum
 
 
+def _route_rows_to_slabs(lb1, lb2, slab, live, rows12, warm2,
+                         n_slabs: int, cap_slots: int, K: int):
+    """Sort rows into a per-slab padded slot layout (gathers only).
+
+    Returns (t_b1, t_b2, t_con (T,12), t_warm (T,2), per-slab live counts
+    (clamped), overflow beyond slab capacity, each row's within-slab slot
+    (for un-routing accumulators), and its validity mask)."""
+    m = live.shape[0]
+    skey = jnp.where(live, slab, n_slabs)         # dead rows last
+    order2 = jnp.argsort(skey)                    # stable: keeps sweep order
+    counts = jnp.zeros((n_slabs,), jnp.int32).at[slab].add(
+        live.astype(jnp.int32))
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    total = n_slabs * cap_slots
+    q = jnp.arange(total, dtype=jnp.int32)
+    qslab = q // cap_slots
+    within = q % cap_slots
+    slot_live = within < jnp.minimum(counts[qslab], cap_slots)
+    src = order2[jnp.clip(starts[qslab] + within, 0, m - 1)]
+    overflow = jnp.maximum(counts - cap_slots, 0).sum()
+
+    def g(x):
+        taken = x[src]
+        return jnp.where(slot_live[:, None], taken, jnp.zeros_like(taken))
+
+    t_b1 = jnp.where(slot_live, lb1[src], qslab * K).astype(jnp.int32)
+    t_b2 = jnp.where(slot_live, lb2[src], qslab * K).astype(jnp.int32)
+    t_con = g(rows12)
+    t_warm = g(warm2)
+    inv2 = jnp.zeros((m,), jnp.int32).at[order2].set(
+        jnp.arange(m, dtype=jnp.int32))
+    within_src = inv2 - starts[slab]
+    ok = within_src < cap_slots
+    return (t_b1, t_b2, t_con, t_warm, jnp.minimum(counts, cap_slots),
+            overflow, within_src, ok)
+
+
 def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
-                       order: jax.Array, cfg: SimConfig
+                       order: jax.Array, cfg: SimConfig, joints=None,
+                       joint_rows: jax.Array | None = None,
+                       joint_warm: jax.Array | None = None,
                        ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array,
-                                  jax.Array]:
+                                  jax.Array, jax.Array]:
     """Tiled solve for scenes whose body table exceeds SMEM (100k+).
 
     ``order`` is the x-sort permutation (rank r -> body id), normally the
     broadphase's sort.  Bodies are embedded into a slab layout where each
-    slab window starts with a 128-row zero block: contacts' STATIC partners
-    are remapped to that zero row (exact — static bodies read zero velocity
-    and zero inverse masses, and writes through zero inverse mass are
-    no-ops), so a scene-wide ground never forces a giant window.  Dynamic
-    partners must fall inside their contact's slab window (halo
-    ``cfg.tile_halo`` ranks); violations are clamped and counted in the
-    returned overflow.
+    slab window starts with a 128-row zero block: partners whose body row
+    literally EQUALS the zero row (statics at rest) are remapped to it
+    (exact — reads return zeros, writes through zero inverse mass are
+    no-ops), so a scene-wide ground never forces a giant window; kinematic
+    statics keep their real rows.  Dynamic partners must fall inside their
+    row's slab window (halo ``cfg.tile_halo`` ranks); violations are
+    clamped and counted in the returned overflow.
 
-    Returns (bodies', accum_n, accum_t, residual, tiled_overflow).
+    User joints (round 2) route to slabs exactly like contacts and sweep
+    after each slab's contact blocks (kernels/contact_solver_tiled.py).
+
+    Returns (bodies', accum_n, accum_t, residual, tiled_overflow,
+    joint_accum (J, 2)).
     """
     from phyx_tpu.kernels.contact_solver_streamed import BLK
     from phyx_tpu.kernels.contact_solver_tiled import solve_contacts_tiled
 
     n = bodies.capacity
     c = contacts.valid.shape[0]
+    j_cap = 0 if joints is None else joints.capacity
     K = cfg.tile_stride                 # rows per slab stride (mult 128)
     H = cfg.tile_halo                   # extra halo rows (mult 128)
     W = K + H
@@ -337,57 +382,41 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     ], axis=1)                           # (N, 8)
     embedded = jnp.where(row_valid[:, None], body_rows[src], 0.0)
 
-    # contact routing.  Only bodies whose row literally EQUALS the zero
-    # row (zero velocity/angvel AND both inverse masses zero) may be
-    # remapped to it — a kinematic static (inv_mass 0, velocity set, which
+    # Only bodies whose row literally EQUALS the zero row (zero
+    # velocity/angvel AND both inverse masses zero) may be remapped to
+    # it — a kinematic static (inv_mass 0, velocity set, which
     # SceneBuilder.add_box permits) contributes real motion to relative-
     # velocity terms and must keep its actual embedded row (ADVICE r1 #1).
     zero_safe = ((bodies.inv_mass == 0.0) & (bodies.inv_inertia == 0.0)
                  & jnp.all(bodies.vel == 0.0, axis=1) & (bodies.angvel == 0.0))
-    b1p = pos[contacts.b1]
-    b2p = pos[contacts.b2]
-    st1 = zero_safe[contacts.b1]
-    st2 = zero_safe[contacts.b2]
-    dyn_min = jnp.where(st1, b2p, jnp.where(st2, b1p, jnp.minimum(b1p, b2p)))
-    slab = jnp.clip(dyn_min // K, 0, n_slabs - 1)
-    zero_row = slab * K
-    lb1 = jnp.where(st1, zero_row, b1p)
-    lb2 = jnp.where(st2, zero_row, b2p)
-    lo, hi = slab * K, slab * K + W
-    in_win = (lb1 >= lo) & (lb1 < hi) & (lb2 >= lo) & (lb2 < hi)
-    tiled_overflow = (contacts.valid & ~in_win).sum(dtype=jnp.int32)
-    lb1 = jnp.clip(lb1, lo, hi - 1)
-    lb2 = jnp.clip(lb2, lo, hi - 1)
-    # dead slots: park on the zero row (exact no-ops), sort to the END and
-    # keep them out of the slab capacity accounting
+
+    def route_endpoints(eb1, eb2, live):
+        b1p = pos[eb1]
+        b2p = pos[eb2]
+        st1 = zero_safe[eb1]
+        st2 = zero_safe[eb2]
+        dyn_min = jnp.where(st1, b2p,
+                            jnp.where(st2, b1p, jnp.minimum(b1p, b2p)))
+        slab = jnp.clip(dyn_min // K, 0, n_slabs - 1)
+        zero_row = slab * K
+        lb1 = jnp.where(st1, zero_row, b1p)
+        lb2 = jnp.where(st2, zero_row, b2p)
+        lo, hi = slab * K, slab * K + W
+        in_win = (lb1 >= lo) & (lb1 < hi) & (lb2 >= lo) & (lb2 < hi)
+        ovf = (live & ~in_win).sum(dtype=jnp.int32)
+        lb1 = jnp.clip(lb1, lo, hi - 1)
+        lb2 = jnp.clip(lb2, lo, hi - 1)
+        # dead rows: park on the zero row (exact no-ops)
+        lb1 = jnp.where(live, lb1, zero_row)
+        lb2 = jnp.where(live, lb2, zero_row)
+        return lb1, lb2, slab, ovf
+
     live = contacts.valid
-    lb1 = jnp.where(live, lb1, zero_row)
-    lb2 = jnp.where(live, lb2, zero_row)
+    lb1, lb2, slab, tiled_overflow = route_endpoints(
+        contacts.b1, contacts.b2, live)
 
-    # slab-sorted padded layout, built with gathers only
-    bps = -(-(2 * c // n_slabs) // BLK)          # blocks per slab (2x avg)
-    cap_slots = bps * BLK
-    skey = jnp.where(live, slab, n_slabs)         # dead last
-    order2 = jnp.argsort(skey)                    # stable: keeps sweep order
-    counts = jnp.zeros((n_slabs,), jnp.int32).at[slab].add(
-        live.astype(jnp.int32))
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(counts)[:-1]])
-    c_tiled = n_slabs * cap_slots
-    q = jnp.arange(c_tiled, dtype=jnp.int32)
-    qslab = q // cap_slots
-    within = q % cap_slots
-    slot_live = within < jnp.minimum(counts[qslab], cap_slots)
-    src_c = order2[jnp.clip(starts[qslab] + within, 0, c - 1)]
-    slab_overflow = jnp.maximum(counts - cap_slots, 0).sum()
-    tiled_overflow = tiled_overflow + slab_overflow
-
-    def g1(x):
-        taken = x[src_c]
-        return jnp.where(slot_live[:, None], taken, jnp.zeros_like(taken))
-
-    t_b1 = jnp.where(slot_live, lb1[src_c], qslab * K).astype(jnp.int32)
-    t_b2 = jnp.where(slot_live, lb2[src_c], qslab * K).astype(jnp.int32)
+    cbps = -(-(2 * c // n_slabs) // BLK)          # blocks per slab (2x avg)
+    cap_c = cbps * BLK
     con12 = jnp.stack([
         contacts.normal[:, 0], contacts.normal[:, 1],
         contacts.r1[:, 0], contacts.r1[:, 1],
@@ -396,14 +425,43 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         contacts.dst_v, contacts.dst_dv,
         jnp.zeros((c,), jnp.float32)], axis=1)
     warm2 = jnp.stack([contacts.warm_n, contacts.warm_t], axis=1)
-    t_con = g1(con12).reshape(-1)
-    t_warm = g1(warm2).reshape(-1)
-    slab_counts = jnp.minimum(counts, cap_slots)
+    (t_b1, t_b2, t_con, t_warm, counts_c, ovf_c,
+     within_c, ok_c) = _route_rows_to_slabs(
+        lb1, lb2, slab, live, con12, warm2, n_slabs, cap_c, K)
+    tiled_overflow = tiled_overflow + ovf_c
+
+    jbps = 0
+    if j_cap:
+        jlive = joints.kind != 0
+        jb1, jb2, jslab, ovf_w = route_endpoints(joints.b1, joints.b2, jlive)
+        tiled_overflow = tiled_overflow + ovf_w
+        jbps = max(1, -(-(2 * j_cap // n_slabs) // BLK))
+        cap_j = jbps * BLK
+        (u_b1, u_b2, u_con, u_warm, counts_j, ovf_j,
+         within_j, ok_j) = _route_rows_to_slabs(
+            jb1, jb2, jslab, jlive, joint_rows, joint_warm,
+            n_slabs, cap_j, K)
+        tiled_overflow = tiled_overflow + ovf_j
+        # interleave: per slab, contact blocks then joint blocks
+        def ilv(a, b):
+            a = a.reshape((n_slabs, cap_c) + a.shape[1:])
+            b = b.reshape((n_slabs, cap_j) + b.shape[1:])
+            return jnp.concatenate([a, b], axis=1).reshape(
+                (n_slabs * (cap_c + cap_j),) + a.shape[2:])
+        t_b1 = ilv(t_b1, u_b1)
+        t_b2 = ilv(t_b2, u_b2)
+        t_con = ilv(t_con, u_con)
+        t_warm = ilv(t_warm, u_warm)
+        slab_counts = jnp.concatenate([counts_c, counts_j])
+    else:
+        slab_counts = jnp.concatenate(
+            [counts_c, jnp.zeros((n_slabs,), jnp.int32)])
 
     body_out, acc, res = solve_contacts_tiled(
-        embedded.reshape(-1), t_b1, t_b2, t_con, t_warm, slab_counts,
+        embedded.reshape(-1), t_b1, t_b2, t_con.reshape(-1),
+        t_warm.reshape(-1), slab_counts,
         cfg.velocity_iterations, cfg.position_iterations,
-        n_slabs, K, W)
+        n_slabs, K, W, jbps=jbps)
 
     # un-embed bodies
     body_out = body_out.reshape(npad, 8)
@@ -412,17 +470,23 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         vel=mine[:, 0:2], angvel=mine[:, 2],
         dvel=mine[:, 5:7], dangvel=mine[:, 7])
 
-    # un-route accumulators: contact c sits at slot slab(c)*cap + within(c)
-    inv2 = jnp.zeros((c,), jnp.int32).at[order2].set(
-        jnp.arange(c, dtype=jnp.int32))
-    within_c = inv2 - starts[slab]
-    slot_c = jnp.clip(slab * cap_slots + within_c, 0, c_tiled - 1)
-    acc = acc.reshape(c_tiled, 3)
+    # un-route accumulators: contact k sits at slot
+    # slab*(cap_c + cap_j) + within; joint k at ... + cap_c + within
+    cap_all = cap_c + jbps * BLK
+    acc = acc.reshape(n_slabs * cap_all, 4)
+    slot_c = jnp.clip(slab * cap_all + within_c,
+                      0, n_slabs * cap_all - 1)
     acc_c = acc[slot_c]
-    ok = within_c < cap_slots
-    accum_n = jnp.where(live & ok, acc_c[:, 0], 0.0)
-    accum_t = jnp.where(live & ok, acc_c[:, 1], 0.0)
-    return bodies, accum_n, accum_t, res[0], tiled_overflow
+    accum_n = jnp.where(live & ok_c, acc_c[:, 0], 0.0)
+    accum_t = jnp.where(live & ok_c, acc_c[:, 1], 0.0)
+    if j_cap:
+        slot_j = jnp.clip(jslab * cap_all + cap_c + within_j,
+                          0, n_slabs * cap_all - 1)
+        acc_j = acc[slot_j]
+        joint_accum = jnp.where((jlive & ok_j)[:, None], acc_j[:, 0:2], 0.0)
+    else:
+        joint_accum = jnp.zeros((0, 2), jnp.float32)
+    return bodies, accum_n, accum_t, res[0], tiled_overflow, joint_accum
 
 
 def solve_position(bodies: Bodies, contacts: Contacts, cfg: SimConfig

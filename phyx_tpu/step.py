@@ -108,16 +108,17 @@ def step(state: State, cfg: SimConfig) -> State:
                 <= solver.PALLAS_SMEM_BUDGET):
             # joints stream too (blocks appended after the contact region)
             streamed = True
-        elif j_cap == 0 and c_cap % _BLK == 0 and c_cap >= 2 * _BLK:
-            # body table beyond SMEM too: x-sorted slab windows
+        elif c_cap % _BLK == 0 and c_cap >= 2 * _BLK:
+            # body table beyond SMEM too: x-sorted slab windows (joints
+            # route to slabs like contacts)
             tiled = True
         else:
             use_pallas = False
     if j_cap and not use_pallas:
         raise NotImplementedError(
-            "user joints require a Pallas solver (fused or streamed): set "
-            "solver_backend='pallas'; beyond the streamed envelope "
-            "(max_bodies <= ~20k) joints are unsupported (tiled kernel)")
+            "user joints require a Pallas solver (fused, streamed or "
+            "tiled): set solver_backend='pallas' with max_pairs a "
+            "1024-multiple >= 2048")
 
     joints_out = state.joints
     if use_pallas:
@@ -139,10 +140,11 @@ def step(state: State, cfg: SimConfig) -> State:
             lo, _ = compute_aabbs(bodies)
             xkeys = jnp.where(bodies.active, lo[:, 0], jnp.float32(jnp.inf))
             xorder = jnp.argsort(xkeys).astype(jnp.int32)
-            (bodies, accum_n, accum_t, residual,
-             tiled_ovf) = solver.solve_pallas_tiled(
-                bodies, compacted, xorder, cfg)
-            joint_accum = jnp.zeros((0, 2), jnp.float32)
+            (bodies, accum_n, accum_t, residual, tiled_ovf,
+             joint_accum) = solver.solve_pallas_tiled(
+                bodies, compacted, xorder, cfg,
+                joints=state.joints if j_cap else None,
+                joint_rows=joint_rows, joint_warm=joint_warm)
             pairs = pairs.replace(overflow=pairs.overflow + tiled_ovf)
         else:
             (bodies, accum_n, accum_t, residual,

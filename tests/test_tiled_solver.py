@@ -92,3 +92,39 @@ def test_tiled_kinematic_static_velocity():
     d = np.abs(np.asarray(st_f.bodies.pos[box]) -
                np.asarray(st_t.bodies.pos[box])).max()
     assert d < 0.02, f"tiled kinematic contact diverged from fused: {d}"
+
+
+def test_tiled_joints_match_fused_loosely():
+    """User joints on the tiled path (round 2): joint rows route to slabs
+    and sweep after each slab's contacts.  Sweep order differs from the
+    fused kernel (slab-interleaved vs all-contacts-then-all-joints), so
+    agreement is convergence-level; anchors must hold and routing overflow
+    must be zero."""
+    cfg = SimConfig(max_bodies=512, max_pairs=1024, max_joints=64,
+                    broadphase="sap", sap_window=48,
+                    solver_backend="pallas",
+                    tile_stride=256, tile_halo=256)
+
+    def build():
+        sb = scenes.chain(cfg, 12)
+        for k in range(40):    # boxes raining near the chain: contacts too
+            sb.add_box((2.0 + 0.45 * (k % 10), 3.0 + 0.9 * (k // 10)),
+                       (0.2, 0.2), friction=0.5)
+        return sb
+
+    st_f = build().build()
+    for _ in range(40):
+        st_f = step(st_f, cfg)
+
+    st_t = _run_tiled(build(), cfg, 40)
+
+    assert int(st_t.stats.pair_overflow) == 0
+    # chain held together on the tiled path
+    pos_t = np.asarray(st_t.bodies.pos[1:13])
+    gaps = np.linalg.norm(np.diff(pos_t, axis=0), axis=1)
+    assert gaps.max() < 1.6, f"tiled chain broke: {gaps.max()}"
+    d = np.abs(np.asarray(st_f.bodies.pos) - np.asarray(st_t.bodies.pos)).max()
+    assert d < 0.08, f"tiled joints diverged from fused: {d}"
+    np.testing.assert_allclose(np.asarray(st_t.joints.accum[:11]),
+                               np.asarray(st_f.joints.accum[:11]),
+                               atol=0.6)
