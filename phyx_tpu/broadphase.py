@@ -381,6 +381,40 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     return _finish(pi, pj, valid, ovf, cfg.max_pairs)
 
 
+def suggest_sap_window(bodies: Bodies, percentile: float = 99.9,
+                       margin: float = 1.5, exclude_long_k: int = 8) -> int:
+    """Host-side window-sizing policy for the windowed/grid sweeps
+    (SURVEY.md §7 hard part #1: budget sizing from scene statistics).
+
+    Measures every body's forward x-neighbor span on the CURRENT state
+    (count of subsequent x-sorted bodies whose interval opens before this
+    body's closes), excluding the ``exclude_long_k`` widest bodies (they
+    use the dense lane), and returns ``percentile`` of the distribution
+    times ``margin``.  Neighborhoods grow as scenes compact — keep
+    watching ``stats.pair_overflow`` (or run under debug.checked_rollout),
+    and resize when it fires.
+    """
+    import numpy as np
+
+    lo, hi = compute_aabbs(bodies)
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    act = np.asarray(bodies.active).copy()
+    if not act.any():
+        return 16
+    ext = np.where(act, hi[:, 0] - lo[:, 0], -np.inf)
+    act[np.argsort(-ext)[:exclude_long_k]] = False
+    xlo = lo[act, 0]
+    xhi = hi[act, 0]
+    srt = np.argsort(xlo)
+    xlo = xlo[srt]
+    xhi = xhi[srt]
+    span = np.searchsorted(xlo, xhi, side="right") \
+        - np.arange(xlo.shape[0]) - 1
+    w = float(np.percentile(span, percentile)) * margin
+    return max(8, int(np.ceil(w)))
+
+
 def _sweep_kernel_smem_bytes(n: int, max_pairs: int) -> int:
     """SMEM of sweep_emit: aabb (N*4 f32), order/dyn (N i32 each), nact,
     pi/pj (max_pairs i32 each) + counters."""

@@ -235,3 +235,21 @@ def test_sap_grid_long_object():
     # ground (index 9, y in [-20, 0]) overlaps boxes at y in [-0.1, 0.9]
     want = {(i, 9) for i in range(9)}
     assert want <= got
+
+
+def test_suggest_sap_window_covers_scene():
+    """The window-sizing policy yields a window with zero truncation on
+    the measured state (pair set == ground truth)."""
+    from phyx_tpu import scenes
+    from phyx_tpu.broadphase import broadphase_sap_grid, suggest_sap_window
+
+    cfg0 = SimConfig(max_bodies=256, max_pairs=4096)
+    st = scenes.pile(cfg0, 200, seed=3).build()
+    w = suggest_sap_window(st.bodies)
+    assert 8 <= w < 256
+    cfg = SimConfig(max_bodies=256, max_pairs=4096, sap_window=w,
+                    sap_hits=32)
+    pairs = broadphase_sap_grid(st.bodies, cfg)
+    ref = broadphase_n2(st.bodies, cfg0)
+    assert got_pairs(pairs) == got_pairs(ref)
+    assert int(pairs.overflow) == 0

@@ -128,3 +128,41 @@ def test_tiled_joints_match_fused_loosely():
     np.testing.assert_allclose(np.asarray(st_t.joints.accum[:11]),
                                np.asarray(st_f.joints.accum[:11]),
                                atol=0.6)
+
+
+def test_tiled_halo_violation_counted_not_dropped():
+    """A contact whose partners are further apart in x-rank space than the
+    slab window (a wide DYNAMIC body with hundreds of bodies between its
+    rank and its partner's) must increment the overflow counter — never
+    silently clamp.  checked_step turns this into a loud failure."""
+    import pytest
+    from phyx_tpu.debug import checked_step
+    from phyx_tpu.world import SceneBuilder
+
+    cfg = SimConfig(max_bodies=1024, max_pairs=2048, broadphase="n2",
+                    solver_backend="pallas",
+                    tile_stride=256, tile_halo=256)
+    sb = SceneBuilder(cfg)
+    # wide dynamic platform: rank ~0 (xlo = -100)
+    sb.add_box((0.0, 0.0), (100.0, 0.25), friction=0.5)
+    # partner resting on its right edge: rank ~701 after the fillers
+    sb.add_box((99.0, 0.65), (0.4, 0.4), friction=0.5)
+    # fillers between the two ranks (floating, far above, no contacts)
+    for k in range(700):
+        sb.add_box((-95.0 + 0.27 * k, 50.0), (0.1, 0.1))
+
+    orig_f = solver.pallas_smem_bytes
+    orig_s = solver.pallas_streamed_smem_bytes
+    solver.pallas_smem_bytes = lambda n, c: 10 ** 9
+    solver.pallas_streamed_smem_bytes = lambda n: 10 ** 9
+    jax.clear_caches()
+    try:
+        st = step_mod.step(sb.build(), cfg)
+        assert int(st.stats.pair_overflow) > 0, \
+            "halo violation was not counted"
+        with pytest.raises(Exception, match="overflow"):
+            checked_step(sb.build(), cfg)
+    finally:
+        solver.pallas_smem_bytes = orig_f
+        solver.pallas_streamed_smem_bytes = orig_s
+        jax.clear_caches()
