@@ -253,3 +253,21 @@ def test_suggest_sap_window_covers_scene():
     ref = broadphase_n2(st.bodies, cfg0)
     assert got_pairs(pairs) == got_pairs(ref)
     assert int(pairs.overflow) == 0
+
+
+def test_sap_grid_vmaps():
+    """sap_grid is pure XLA: it must compose with vmap (the mesh-sharded
+    env path), producing per-env pair sets equal to solo runs."""
+    import jax
+    from phyx_tpu.broadphase import broadphase_sap_grid
+
+    cfg = SimConfig(max_bodies=64, max_pairs=512, sap_window=32, sap_hits=8)
+    envs = [random_bodies(40, 64, seed=s, spread=15.0) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *envs)
+    vpairs = jax.vmap(lambda b: broadphase_sap_grid(b, cfg))(batch)
+    for e, b in enumerate(envs):
+        solo = got_pairs(broadphase_sap_grid(b, cfg))
+        got = {(int(i), int(j))
+               for i, j in zip(np.asarray(vpairs.pi[e]),
+                               np.asarray(vpairs.pj[e])) if i != EMPTY}
+        assert got == solo, f"env {e} vmap pair set diverged"
