@@ -17,7 +17,8 @@ structural, not approximate (BASELINE.json:5).
 Memory layout (all flat 1D SMEM; 2D SMEM arrays pad the trailing dim):
   body  (N*8,)  f32: [vx, vy, w, inv_m, inv_i, dvx, dvy, dw] per body
   con   (C*12,) f32: [nx, ny, r1x, r1y, r2x, r2y, mass_n, mass_t,
-                      friction, dst_v, dst_dv, pad] per contact
+                      friction, dst_v, dst_dv, c_nt] per contact
+                     (c_nt = normal->tangent coupling, solver.prepare)
   warm  (C*2,)  f32: [warm_n, warm_t]
   b1/b2 (C,)    i32
   acc   (C*4,)  f32 out: [accum_n, accum_t, accum_d, pad]
@@ -235,6 +236,7 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
                 mt = con_ref[base + 7]
                 fr = con_ref[base + 8]
                 dstv = con_ref[base + 9]
+                ctn = con_ref[base + 11]
                 i = b1_ref[k] * 8
                 j = b2_ref[k] * 8
                 im1 = body_ref[i + 3]
@@ -247,43 +249,37 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
                 vx2 = body_ref[j]
                 vy2 = body_ref[j + 1]
                 w2 = body_ref[j + 2]
-                # normal limiter
+                # ONE relative-velocity evaluation: the tangent velocity
+                # after the normal impulse follows exactly from the
+                # precomputed coupling ctn = J_t M^-1 J_n^T (solver.prepare)
                 dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
                 dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
                 vn = nx * dvx + ny * dvy
+                vt = -ny * dvx + nx * dvy
+                # normal limiter
                 d = (dstv - vn) * mn
                 a = acc_ref[k * 4]
                 na = jnp.maximum(a + d, 0.0)
-                d = na - a
+                dn = na - a
                 acc_ref[k * 4] = na
-                px = nx * d
-                py = ny * d
-                vx1 -= px * im1
-                vy1 -= py * im1
-                w1 -= ii1 * (r1x * py - r1y * px)
-                vx2 += px * im2
-                vy2 += py * im2
-                w2 += ii2 * (r2x * py - r2y * px)
-                res = jnp.maximum(res, jnp.abs(d))
-                # friction limiter, tangent t = (-ny, nx)
-                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
-                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
-                vt = -ny * dvx + nx * dvy
-                d = -vt * mt
+                res = jnp.maximum(res, jnp.abs(dn))
+                # friction limiter on the exact post-normal tangent velocity
+                d = -(vt + ctn * dn) * mt
                 a = acc_ref[k * 4 + 1]
                 mf = fr * na
                 ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
-                d = ta - a
+                dt = ta - a
                 acc_ref[k * 4 + 1] = ta
-                px = -ny * d
-                py = nx * d
+                # combined impulse n*dn + t*dt (t = (-ny, nx)): one apply
+                px = nx * dn - ny * dt
+                py = ny * dn + nx * dt
                 body_ref[i] = vx1 - px * im1
                 body_ref[i + 1] = vy1 - py * im1
                 body_ref[i + 2] = w1 - ii1 * (r1x * py - r1y * px)
                 body_ref[j] = vx2 + px * im2
                 body_ref[j + 1] = vy2 + py * im2
                 body_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
-                return jnp.maximum(res, jnp.abs(d))
+                return jnp.maximum(res, jnp.abs(dt))
 
             def run_sweep():
                 res = jax.lax.fori_loop(0, num, one, jnp.float32(0.0))

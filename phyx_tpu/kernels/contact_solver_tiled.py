@@ -166,6 +166,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 mt = conr[cb + 7]
                 fr = conr[cb + 8]
                 dstv = conr[cb + 9]
+                ctn = conr[cb + 11]
                 i = (b1r[k] - base) * 8
                 j = (b2r[k] - base) * 8
                 im1 = win_ref[i + 3]
@@ -178,34 +179,27 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 vx2 = win_ref[j]
                 vy2 = win_ref[j + 1]
                 w2 = win_ref[j + 2]
+                # ONE relative-velocity evaluation; exact post-normal vt
+                # via the precomputed coupling ctn = J_t M^-1 J_n^T
+                # (solver.prepare) — same restructure as the fused kernel.
                 dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
                 dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
                 vn = nx * dvx + ny * dvy
+                vt = -ny * dvx + nx * dvy
                 d = (dstv - vn) * mn
                 a = accr[k * 4]
                 na = jnp.maximum(a + d, 0.0)
-                d = na - a
+                dn = na - a
                 accr[k * 4] = na
-                px = nx * d
-                py = ny * d
-                vx1 -= px * im1
-                vy1 -= py * im1
-                w1 -= ii1 * (r1x * py - r1y * px)
-                vx2 += px * im2
-                vy2 += py * im2
-                w2 += ii2 * (r2x * py - r2y * px)
-                res = jnp.abs(d)
-                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
-                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
-                vt = -ny * dvx + nx * dvy
-                d = -vt * mt
+                res = jnp.abs(dn)
+                d = -(vt + ctn * dn) * mt
                 a = accr[k * 4 + 1]
                 mf = fr * na
                 ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
-                d = ta - a
+                dt = ta - a
                 accr[k * 4 + 1] = ta
-                px = -ny * d
-                py = nx * d
+                px = nx * dn - ny * dt
+                py = ny * dn + nx * dt
                 win_ref[i] = vx1 - px * im1
                 win_ref[i + 1] = vy1 - py * im1
                 win_ref[i + 2] = w1 - ii1 * (r1x * py - r1y * px)
@@ -213,7 +207,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 win_ref[j + 1] = vy2 + py * im2
                 win_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
                 res_ref[0] = jnp.maximum(res_ref[0],
-                                         jnp.maximum(res, jnp.abs(d)))
+                                         jnp.maximum(res, jnp.abs(dt)))
                 return 0
             jax.lax.fori_loop(0, cnt, one, 0)
 

@@ -58,6 +58,7 @@ class Contacts:
     friction: jax.Array  # (C,) f32
     dst_v: jax.Array     # (C,) f32 restitution target velocity
     dst_dv: jax.Array    # (C,) f32 displacement target velocity
+    c_nt: jax.Array      # (C,) f32 normal->tangent coupling J_t M^-1 J_n^T
     # color class for the Gauss-Seidel sweep (filled by coloring)
     color: jax.Array     # (C,) int32
 
@@ -213,6 +214,6 @@ def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
         fid=c_fid,
         valid=c_valid,
         warm_n=zf, warm_t=zf,
-        mass_n=zf, mass_t=zf, friction=zf, dst_v=zf, dst_dv=zf,
+        mass_n=zf, mass_t=zf, friction=zf, dst_v=zf, dst_dv=zf, c_nt=zf,
         color=jnp.zeros((C,), jnp.int32),
     )

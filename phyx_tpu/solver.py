@@ -63,6 +63,15 @@ def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig) -> Contacts:
     kt = im1 + im2 + ii1 * rt1 * rt1 + ii2 * rt2 * rt2
     mass_t = jnp.where(kt > 0.0, 1.0 / jnp.maximum(kt, 1e-30), 0.0)
 
+    # Normal->tangent coupling J_t M^-1 J_n^T: the exact change of the
+    # tangent relative velocity per unit normal impulse.  Lets the solve
+    # visit evaluate the relative velocity ONCE and update vt analytically
+    # after the normal impulse instead of re-reading body state — ~20%
+    # fewer scalar ops per Gauss-Seidel visit on the serial sweep (the
+    # sequential two-apply form and this coupled form are identical in
+    # exact arithmetic; t.n = 0 kills the inv-mass term).
+    c_nt = ii1 * rn1 * rt1 + ii2 * rn2 * rt2
+
     friction = jnp.sqrt(p1[:, 5] * p2[:, 5])
 
     pv1 = p1[:, 0:2] + m2.cross_sv(p1[:, 2], r1)
@@ -83,6 +92,7 @@ def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig) -> Contacts:
         friction=jnp.where(v, friction, zero),
         dst_v=jnp.where(v, dst_v, zero),
         dst_dv=jnp.where(v, dst_dv, zero),
+        c_nt=jnp.where(v, c_nt, zero),
     )
 
 
@@ -133,25 +143,29 @@ def solve_velocity(bodies: Bodies, contacts: Contacts, cfg: SimConfig
     def color_sweep(col, carry):
         vel, angvel, an, at, res = carry
         mask = c.valid & (c.color == col)
+        # one relative-velocity evaluation; the post-normal tangent
+        # velocity follows exactly from the precomputed coupling c_nt
+        # (= J_t M^-1 J_n^T, see prepare) — halves the gather/scatter
+        # passes per color sweep vs the two-apply form
+        dv = rel_vel(vel, angvel)
+        vn = m2.dot(n, dv)
+        vt = m2.dot(t, dv)
         # normal limiter
-        dv = m2.dot(n, rel_vel(vel, angvel))
-        d = (c.dst_v - dv) * c.mass_n
+        d = (c.dst_v - vn) * c.mass_n
         new_an = jnp.maximum(an + d, 0.0)
-        d = jnp.where(mask, new_an - an, 0.0)
-        an = an + d
-        vel, angvel = _apply(vel, angvel, c, im1, ii1, im2, ii2,
-                             n * d[:, None])
-        res = jnp.maximum(res, jnp.max(jnp.abs(d)))
+        dn = jnp.where(mask, new_an - an, 0.0)
+        an = an + dn
+        res = jnp.maximum(res, jnp.max(jnp.abs(dn)))
         # friction limiter (clamped by accumulated normal impulse)
-        dvt = m2.dot(t, rel_vel(vel, angvel))
-        d = -dvt * c.mass_t
+        d = -(vt + c.c_nt * dn) * c.mass_t
         max_f = c.friction * an
         new_at = jnp.clip(at + d, -max_f, max_f)
-        d = jnp.where(mask, new_at - at, 0.0)
-        at = at + d
+        dt = jnp.where(mask, new_at - at, 0.0)
+        at = at + dt
+        # combined impulse n*dn + t*dt: one scatter apply
         vel, angvel = _apply(vel, angvel, c, im1, ii1, im2, ii2,
-                             t * d[:, None])
-        res = jnp.maximum(res, jnp.max(jnp.abs(d)))
+                             n * dn[:, None] + t * dt[:, None])
+        res = jnp.maximum(res, jnp.max(jnp.abs(dt)))
         return vel, angvel, an, at, res
 
     def iteration(it, carry):
@@ -226,7 +240,7 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
         contacts.r2[:, 0], contacts.r2[:, 1],
         contacts.mass_n, contacts.mass_t, contacts.friction,
         contacts.dst_v, contacts.dst_dv,
-        jnp.zeros((c,), jnp.float32),
+        contacts.c_nt,
     ], axis=1)
     warm_flat = jnp.stack([contacts.warm_n, contacts.warm_t], axis=1)
     b1, b2 = contacts.b1, contacts.b2
@@ -423,7 +437,7 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         contacts.r2[:, 0], contacts.r2[:, 1],
         contacts.mass_n, contacts.mass_t, contacts.friction,
         contacts.dst_v, contacts.dst_dv,
-        jnp.zeros((c,), jnp.float32)], axis=1)
+        contacts.c_nt], axis=1)
     warm2 = jnp.stack([contacts.warm_n, contacts.warm_t], axis=1)
     (t_b1, t_b2, t_con, t_warm, counts_c, ovf_c,
      within_c, ok_c) = _route_rows_to_slabs(
