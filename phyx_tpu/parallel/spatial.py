@@ -1,0 +1,306 @@
+"""Spatial domain decomposition of ONE scene across a device mesh.
+
+The scaling-ladder stretch goal (SURVEY.md §5.7/§5.8, VERDICT r1 aux #7):
+a single huge scene is partitioned into x-bands, one band per device, and
+stepped with ``jax.shard_map`` — each device runs the UNMODIFIED
+single-chip ``step()`` on its local slice, and the only cross-device
+traffic is a halo exchange of boundary bodies over ``jax.lax.ppermute``
+(ICI neighbor links on a real TPU mesh; the ring/context-parallel analog
+the survey prescribes).
+
+Decomposition scheme
+--------------------
+Per-shard local body table (capacity ``L = S + H + M + H``):
+
+    [ statics (S) | halo_L (H) | owned dynamics (M) | halo_R (H) ]
+
+* **Statics are replicated** on every shard.  They never move (the
+  engine integrates only ``inv_mass > 0`` bodies), so a scene-wide
+  ground/walls need no communication and no ownership.
+* **Ownership is static** for the lifetime of the sharding: dynamic
+  bodies are x-sorted at ``shard_spatial`` time and dealt to shards in
+  contiguous rank chunks.  A body that later drifts across a cut is
+  still owned (and integrated) by its original shard — correctness does
+  not depend on residency, only on the halo covering the cut (below).
+  Call ``rebalance`` between rollout chunks to re-deal by current x
+  (host-side, cheap, the production re-shard cadence).
+* **The halo is selected dynamically every step**: each shard exports
+  its H lowest-x and H highest-x owned bodies (by CURRENT position) to
+  its left/right neighbor, so boundary coverage tracks the actual
+  motion.  Exported rows are ordered by owner slot id, which keeps halo
+  slot contents stable across steps while the edge SET is stable — so
+  the local contact cache keeps warm-starting cut contacts.
+
+Physics semantics (documented, tested to convergence-level parity):
+interior contacts run the exact serial Gauss-Seidel of the single-chip
+engine.  A contact that spans a cut exists on BOTH neighboring shards
+(each sees the partner as a read-only halo copy) and is solved
+independently by each — additive-Schwarz coupling: within-band
+Gauss-Seidel, Jacobi-like relaxation across cuts, converging at the
+boundary at the residual scale of the iteration count.  Momentum error
+at a cut is bounded by the difference of the two shards' computed
+impulses for the shared contact (same prepared rows, same warm start;
+they differ only through ordering of the surrounding sweep).
+
+Requirements / limits (v1):
+* contacts only — user joints are rejected (route jointed structures
+  through the mega-scene path instead);
+* interactions must not span more than one cut (halo reaches one
+  neighbor); band width >> interaction diameter;
+* more than ``H`` bodies interacting across one cut overflows the halo —
+  undetected pairs are simply absent, exactly like an undersized
+  ``sap_window``; size H like a pair budget (see ``suggest_halo``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from phyx_tpu.config import SimConfig
+from phyx_tpu.step import step
+from phyx_tpu.types import Bodies, ContactCache, SolverStats, State, _parked
+
+
+class SpatialDims(NamedTuple):
+    """Static layout of the per-shard body table (hashable jit-static)."""
+    D: int   # number of shards (mesh axis size)
+    S: int   # replicated static slots
+    H: int   # halo capacity per side
+    M: int   # owned dynamic slots per shard
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialMeta:
+    """Host-side bookkeeping to map shard-local rows back to global ids."""
+    dims: SpatialDims
+    static_ids: np.ndarray   # (S,) global body ids of replicated statics
+    owned_ids: np.ndarray    # (D, M) global body ids, -1 = padding
+    capacity: int            # original global body capacity
+
+
+def suggest_halo(state: State, n_shards: int, margin: float = 2.0) -> int:
+    """Halo sizing from scene statistics (like suggest_sap_window): the
+    max number of dynamic bodies within one interaction diameter of any
+    equal-count x-cut, times ``margin``, rounded up to a multiple of 8."""
+    pos = np.asarray(state.bodies.pos)
+    he = np.asarray(state.bodies.half_extent)
+    act = np.asarray(state.bodies.active)
+    dyn = act & (np.asarray(state.bodies.inv_mass) > 0.0)
+    x = np.sort(pos[dyn, 0])
+    if x.size == 0 or n_shards < 2:
+        return 8
+    diam = 4.0 * float(he[dyn].max())
+    cuts = [x[min((k * x.size) // n_shards, x.size - 1)]
+            for k in range(1, n_shards)]
+    worst = max(int(((x > c - diam) & (x < c + diam)).sum()) for c in cuts)
+    return max(8, int(-(-worst * margin // 8) * 8))
+
+
+def shard_spatial(state: State, cfg: SimConfig, n_shards: int,
+                  halo: int, max_pairs_per_shard: Optional[int] = None,
+                  ) -> Tuple[State, SimConfig, SpatialMeta]:
+    """Partition ``state`` into ``n_shards`` x-bands (host-side).
+
+    Returns ``(sstate, local_cfg, meta)`` where every leaf of ``sstate``
+    carries a leading shard axis of size D, and ``local_cfg`` is the
+    per-shard SimConfig (smaller capacities) to pass to
+    ``spatial_rollout``.  The contact caches start empty; warm starts
+    rebuild within a frame."""
+    if state.joints.capacity and int(np.asarray(
+            (state.joints.kind != 0).sum())):
+        raise NotImplementedError(
+            "spatial sharding v1 supports contacts only (no user joints); "
+            "use the mega-scene path for jointed structures")
+    D, H = int(n_shards), int(halo)
+    b = state.bodies
+    arrs = {f.name: np.asarray(getattr(b, f.name))
+            for f in dataclasses.fields(b)}
+    act = arrs["active"]
+    static_mask = act & (arrs["inv_mass"] == 0.0) & (arrs["inv_inertia"] == 0.0)
+    dyn_mask = act & ~static_mask
+    static_ids = np.nonzero(static_mask)[0]
+    dyn_ids = np.nonzero(dyn_mask)[0]
+    dyn_ids = dyn_ids[np.argsort(arrs["pos"][dyn_ids, 0], kind="stable")]
+    S = int(static_ids.size)
+    M = max(8, -(-int(dyn_ids.size) // D))
+    owned = np.full((D, M), -1, np.int64)
+    for d in range(D):
+        chunk = dyn_ids[d * M:(d + 1) * M]
+        owned[d, :chunk.size] = chunk
+    dims = SpatialDims(D=D, S=S, H=H, M=M)
+    L = S + 2 * H + M
+    park = np.asarray(_parked(L))
+
+    def shard_leaf(name: str, x: np.ndarray) -> np.ndarray:
+        out = np.zeros((D, L) + x.shape[1:], x.dtype)
+        if name == "pos":
+            out[:] = park[None]
+        if name == "rot":
+            out[..., 0] = 1.0
+        if name == "half_extent":
+            out[:] = 1.0
+        for d in range(D):
+            out[d, :S] = x[static_ids]
+            ids = owned[d]
+            ok = ids >= 0
+            out[d, S + H:S + H + M][ok] = x[ids[ok]]
+        return out
+
+    bodies = Bodies(**{k: jnp.asarray(shard_leaf(k, v))
+                       for k, v in arrs.items()})
+    if max_pairs_per_shard is None:
+        max_pairs_per_shard = max(256, -(-cfg.max_pairs // D))
+    local_cfg = dataclasses.replace(
+        cfg, max_bodies=L, max_pairs=int(max_pairs_per_shard), max_joints=0)
+    from phyx_tpu.joints import Joints
+    one = State(bodies=bodies,  # leading D axis on bodies only so far
+                joints=jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (D,) + x.shape),
+                    Joints.empty(0)),
+                cache=jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (D,) + x.shape),
+                    ContactCache.empty(int(max_pairs_per_shard))),
+                stats=jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (D,) + x.shape),
+                    SolverStats.zeros()))
+    meta = SpatialMeta(dims=dims, static_ids=static_ids, owned_ids=owned,
+                       capacity=b.capacity)
+    return one, local_cfg, meta
+
+
+def _exchange_halo(b: Bodies, dims: SpatialDims, axis: str) -> Bodies:
+    """Refresh halo slots from both neighbors (shard-local view).
+
+    Exports each side's H extreme-x owned bodies (slot-id-ordered for
+    cache stability) over ``lax.ppermute``; missing neighbors (mesh
+    edges) deliver zero rows, which are re-parked as inactive."""
+    D, S, H, M = dims
+    own = jax.tree.map(lambda x: x[S + H:S + H + M], b)
+    take = min(H, M)          # H > M: export everything + inactive pad
+
+    def edge(ids):
+        ids = jnp.sort(ids)   # owner-slot order: stable halo slots
+        rows = jax.tree.map(lambda a: a[ids], own)
+        if take < H:
+            rows = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((H - take,) + a.shape[1:], a.dtype)]),
+                rows)
+        return rows
+
+    x = jnp.where(own.active, own.pos[:, 0], jnp.inf)
+    exp_l = edge(jnp.argsort(x)[:take])
+    x = jnp.where(own.active, own.pos[:, 0], -jnp.inf)
+    exp_r = edge(jnp.argsort(x)[M - take:])
+    fwd = [(i, i + 1) for i in range(D - 1)]
+    bwd = [(i + 1, i) for i in range(D - 1)]
+    halo_l = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, fwd), exp_r)
+    halo_r = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, bwd), exp_l)
+
+    merged = jax.tree.map(
+        lambda stat_own, hl, hr: jnp.concatenate(
+            [stat_own[:S], hl, stat_own[S + H:S + H + M], hr], axis=0),
+        b, halo_l, halo_r)
+    # Re-park rows that arrived inactive (zeros from mesh edges, or
+    # genuinely inactive neighbor slots): distinct far-away positions and
+    # unit extents so their AABBs can never overlap anything real.
+    L = S + 2 * H + M
+    alive = merged.active
+    return merged.replace(
+        pos=jnp.where(alive[:, None], merged.pos, _parked(L)),
+        rot=jnp.where(alive[:, None], merged.rot,
+                      jnp.array([1.0, 0.0], jnp.float32)),
+        half_extent=jnp.where(alive[:, None], merged.half_extent, 1.0),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _spatial_rollout_fn(local_cfg: SimConfig, mesh: Mesh, dims: SpatialDims,
+                        num_steps: int, axis: str):
+    spec = P(axis)
+
+    def local_chunk(st: State) -> State:
+        st = jax.tree.map(lambda a: a[0], st)   # drop the size-1 shard dim
+
+        def one(s, _):
+            bodies = _exchange_halo(s.bodies, dims, axis)
+            out = step(s.replace(bodies=bodies), local_cfg)
+            return out, None
+
+        out, _ = jax.lax.scan(one, st, None, length=num_steps)
+        # Cross-shard stats: counts sum (cut contacts counted on both
+        # sides — an upper bound), residual/penetration are maxima.
+        stats = SolverStats(
+            num_pairs=jax.lax.psum(out.stats.num_pairs, axis),
+            num_contacts=jax.lax.psum(out.stats.num_contacts, axis),
+            pair_overflow=jax.lax.psum(out.stats.pair_overflow, axis),
+            max_penetration=jax.lax.pmax(out.stats.max_penetration, axis),
+            residual=jax.lax.pmax(out.stats.residual, axis),
+        )
+        out = out.replace(stats=stats)
+        return jax.tree.map(lambda a: a[None], out)
+
+    shmapped = jax.shard_map(local_chunk, mesh=mesh, in_specs=spec,
+                             out_specs=spec, check_vma=False)
+    return jax.jit(shmapped)
+
+
+def spatial_rollout(sstate: State, local_cfg: SimConfig, mesh: Mesh,
+                    meta: SpatialMeta, num_steps: int,
+                    axis: str = "x") -> State:
+    """Advance the sharded scene ``num_steps`` frames: one jitted
+    ``shard_map`` program, halo exchange + full local step per frame."""
+    if mesh.shape[axis] != meta.dims.D:
+        raise ValueError(
+            f"mesh axis {axis!r} has {mesh.shape[axis]} devices but the "
+            f"state was sharded for {meta.dims.D} (on CPU, set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={meta.dims.D} before "
+            f"backend init, as tests/conftest.py does)")
+    fn = _spatial_rollout_fn(local_cfg, mesh, meta.dims, num_steps, axis)
+    return fn(sstate)
+
+
+def unshard(sstate: State, meta: SpatialMeta, template: State) -> State:
+    """Gather owned rows back into a global State (host-side sync).
+
+    ``template`` supplies the original capacity/layout (typically the
+    pre-shard state); statics are restored from shard 0's replicas."""
+    dims = meta.dims
+    D, S, H, M = dims
+    out = {f.name: np.asarray(getattr(template.bodies, f.name)).copy()
+           for f in dataclasses.fields(template.bodies)}
+    for name in out:
+        sh = np.asarray(getattr(sstate.bodies, name))
+        if S:
+            out[name][meta.static_ids] = sh[0, :S]
+        for d in range(D):
+            ids = meta.owned_ids[d]
+            ok = ids >= 0
+            out[name][ids[ok]] = sh[d, S + H:S + H + M][ok]
+    stats = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                         sstate.stats)
+    return State(bodies=Bodies(**{k: jnp.asarray(v)
+                                  for k, v in out.items()}),
+                 joints=template.joints, cache=template.cache, stats=stats)
+
+
+def rebalance(sstate: State, meta: SpatialMeta, template: State,
+              cfg: SimConfig, halo: Optional[int] = None,
+              max_pairs_per_shard: Optional[int] = None,
+              ) -> Tuple[State, SimConfig, SpatialMeta]:
+    """Re-deal ownership by current x (host-side, between rollout chunks).
+
+    Keeps the same shard count; pass a new ``halo`` to resize coverage.
+    Contact caches restart empty (one frame of warm-start loss)."""
+    dims = meta.dims
+    global_state = unshard(sstate, meta, template)
+    return shard_spatial(global_state, cfg, dims.D,
+                         dims.H if halo is None else halo,
+                         max_pairs_per_shard=max_pairs_per_shard)

@@ -1,0 +1,149 @@
+"""Spatial domain decomposition (parallel/spatial.py) on the virtual
+8-device CPU mesh (conftest).
+
+Parity model (see the module docstring): interior physics is the exact
+single-chip engine; contacts spanning an x-cut relax additive-Schwarz
+style (solved on both neighboring shards against halo copies), so
+cross-cut trajectories are convergence-level, not bit-level, matches.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from phyx_tpu.config import SimConfig
+from phyx_tpu.parallel.spatial import (shard_spatial, spatial_rollout,
+                                       suggest_halo, unshard, rebalance)
+from phyx_tpu.step import rollout
+from phyx_tpu.world import SceneBuilder
+
+
+def mesh(n):
+    devs = jax.devices()
+    assert len(devs) >= n
+    return Mesh(np.array(devs[:n]), axis_names=("x",))
+
+
+def base_cfg(**kw):
+    kw.setdefault("max_bodies", 256)
+    kw.setdefault("max_pairs", 2048)
+    kw.setdefault("broadphase", "sap")
+    kw.setdefault("sap_window", 64)
+    kw.setdefault("solver_backend", "xla")
+    return SimConfig(**kw)
+
+
+def stacks_scene(cfg, n_stacks=8, height=3, spacing=8.0):
+    """n_stacks short box stacks spread along x on one shared ground."""
+    sb = SceneBuilder(cfg)
+    sb.add_box((0.0, -1.0), (n_stacks * spacing, 1.0), static=True)
+    x0 = -(n_stacks - 1) * spacing / 2.0
+    for s in range(n_stacks):
+        for k in range(height):
+            sb.add_box((x0 + s * spacing, 0.5 + 1.02 * k), (0.5, 0.5))
+    return sb.build()
+
+
+def test_shard_unshard_roundtrip():
+    cfg = base_cfg()
+    st = stacks_scene(cfg)
+    sst, lcfg, meta = shard_spatial(st, cfg, n_shards=4, halo=8)
+    assert lcfg.max_bodies == meta.dims.S + 2 * meta.dims.H + meta.dims.M
+    back = unshard(sst, meta, st)
+    np.testing.assert_array_equal(np.asarray(back.bodies.pos),
+                                  np.asarray(st.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(back.bodies.inv_mass),
+                                  np.asarray(st.bodies.inv_mass))
+
+
+def test_separated_stacks_match_single_device():
+    """Stacks that never interact across cuts: spatial == solo to
+    sweep-order level (the colored XLA backend orders contacts by global
+    ids, so even disjoint stacks sweep in a different order locally —
+    convergence-level parity is the contract, as for the tiled solver)."""
+    cfg = base_cfg()
+    st = stacks_scene(cfg)
+    solo = rollout(st, cfg, 40)
+
+    sst, lcfg, meta = shard_spatial(st, cfg, n_shards=4, halo=8)
+    sst = spatial_rollout(sst, lcfg, mesh(4), meta, 40)
+    back = unshard(sst, meta, st)
+
+    act = np.asarray(st.bodies.active)
+    np.testing.assert_allclose(np.asarray(back.bodies.pos)[act],
+                               np.asarray(solo.bodies.pos)[act], atol=5e-2)
+    assert int(sst.stats.pair_overflow[0]) == 0
+    assert not np.isnan(np.asarray(back.bodies.pos)).any()
+
+
+def test_cut_spanning_impulse_chain():
+    """A row of touching boxes spanning every cut, hit from the left:
+    the impulse chain crosses shard boundaries through halo copies.
+    Convergence-level parity with the single-device run."""
+    cfg = base_cfg()
+    sb = SceneBuilder(cfg)
+    sb.add_box((0.0, -1.0), (60.0, 1.0), static=True)
+    n = 24
+    for k in range(n):
+        sb.add_box(((k - n / 2) * 1.01, 0.5), (0.5, 0.5), friction=0.05)
+    sb.add_box((-n / 2 * 1.01 - 3.0, 0.5), (0.5, 0.5), friction=0.05,
+               velocity=(8.0, 0.0))
+    st = sb.build()
+    solo = rollout(st, cfg, 30)
+
+    sst, lcfg, meta = shard_spatial(st, cfg, n_shards=4, halo=12)
+    sst = spatial_rollout(sst, lcfg, mesh(4), meta, 30)
+    back = unshard(sst, meta, st)
+
+    act = np.asarray(st.bodies.active)
+    np.testing.assert_allclose(np.asarray(back.bodies.pos)[act],
+                               np.asarray(solo.bodies.pos)[act], atol=5e-2)
+    assert int(sst.stats.pair_overflow[0]) == 0
+    assert not np.isnan(np.asarray(back.bodies.pos)).any()
+
+
+def test_migration_across_cut():
+    """A fast box owned by shard 0 slides into shard 3's territory and
+    hits a resting box there.  Static ownership + dynamic halo keeps the
+    collision correct without re-sharding."""
+    cfg = base_cfg()
+    sb = SceneBuilder(cfg)
+    sb.add_box((0.0, -1.0), (60.0, 1.0), static=True)
+    xs = [-20.0, -12.0, -4.0, 4.0]
+    for x in xs:                       # one resting box per band
+        sb.add_box((x, 0.5), (0.5, 0.5), friction=0.0)
+    sb.add_box((-26.0, 0.5), (0.5, 0.5), friction=0.0,
+               velocity=(12.0, 0.0))   # the migrant (leftmost band)
+    st = sb.build()
+    solo = rollout(st, cfg, 60)
+
+    sst, lcfg, meta = shard_spatial(st, cfg, n_shards=4, halo=8)
+    m = mesh(4)
+    for _ in range(4):                 # 60 frames in chunks + rebalances
+        sst = spatial_rollout(sst, lcfg, m, meta, 15)
+        sst, lcfg, meta = rebalance(sst, meta, st, cfg)
+    back = unshard(sst, meta, st)
+
+    act = np.asarray(st.bodies.active)
+    np.testing.assert_allclose(np.asarray(back.bodies.pos)[act],
+                               np.asarray(solo.bodies.pos)[act], atol=5e-2)
+
+
+def test_suggest_halo_and_joint_rejection():
+    cfg = base_cfg()
+    st = stacks_scene(cfg)
+    h = suggest_halo(st, 4)
+    assert h >= 8 and h % 8 == 0
+
+    jcfg = dataclasses.replace(cfg, max_joints=4, solver_backend="pallas",
+                               max_pairs=2048)
+    sb = SceneBuilder(jcfg)
+    a = sb.add_box((0.0, 5.0), (0.5, 0.5), static=True)
+    b = sb.add_box((1.0, 5.0), (0.5, 0.5))
+    sb.add_revolute_joint(a, b, (0.5, 5.0))
+    jst = sb.build()
+    with pytest.raises(NotImplementedError):
+        shard_spatial(jst, jcfg, 4, 8)
