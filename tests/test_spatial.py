@@ -132,6 +132,30 @@ def test_migration_across_cut():
                                np.asarray(solo.bodies.pos)[act], atol=5e-2)
 
 
+def test_pallas_backend_under_shard_map():
+    """The flagship Pallas solver composes with spatial sharding: each
+    shard runs its own pallas_call (no vmap needed) — this is how the
+    SMEM kernels scale out across chips (round-1 weak #6)."""
+    cfg = base_cfg(solver_backend="pallas", max_bodies=128, max_pairs=1024,
+                   sap_window=32)
+    sb = SceneBuilder(cfg)
+    sb.add_box((0.0, -1.0), (40.0, 1.0), static=True)
+    for s in range(8):
+        for k in range(2):
+            sb.add_box((-14.0 + s * 4.0, 0.5 + 1.02 * k), (0.5, 0.5))
+    st = sb.build()
+    solo = rollout(st, cfg, 3)
+
+    sst, lcfg, meta = shard_spatial(st, cfg, 4, 8)
+    sst = spatial_rollout(sst, lcfg, mesh(4), meta, 3)
+    back = unshard(sst, meta, st)
+
+    act = np.asarray(st.bodies.active)
+    np.testing.assert_allclose(np.asarray(back.bodies.pos)[act],
+                               np.asarray(solo.bodies.pos)[act], atol=5e-3)
+    assert int(sst.stats.pair_overflow[0]) == 0
+
+
 def test_suggest_halo_and_joint_rejection():
     cfg = base_cfg()
     st = stacks_scene(cfg)
