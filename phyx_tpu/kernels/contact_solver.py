@@ -78,8 +78,8 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
 
         def joint_load(k):
             base = k * 12
-            i = b1_ref[k] * 8
-            j = b2_ref[k] * 8
+            i = b1_ref[k]
+            j = b2_ref[k]
             return base, i, j
 
         def joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, off):
@@ -203,8 +203,8 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
             r1y = con_ref[base + 3]
             r2x = con_ref[base + 4]
             r2y = con_ref[base + 5]
-            i = b1_ref[k] * 8
-            j = b2_ref[k] * 8
+            i = b1_ref[k]
+            j = b2_ref[k]
             im1 = body_ref[i + 3]
             ii1 = body_ref[i + 4]
             im2 = body_ref[j + 3]
@@ -237,8 +237,8 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
                 fr = con_ref[base + 8]
                 dstv = con_ref[base + 9]
                 ctn = con_ref[base + 11]
-                i = b1_ref[k] * 8
-                j = b2_ref[k] * 8
+                i = b1_ref[k]
+                j = b2_ref[k]
                 im1 = body_ref[i + 3]
                 ii1 = body_ref[i + 4]
                 im2 = body_ref[j + 3]
@@ -315,8 +315,8 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
                 r2y = con_ref[base + 5]
                 mn = con_ref[base + 6]
                 ddv = con_ref[base + 10]
-                i = b1_ref[k] * 8
-                j = b2_ref[k] * 8
+                i = b1_ref[k]
+                j = b2_ref[k]
                 im1 = body_ref[i + 3]
                 ii1 = body_ref[i + 4]
                 im2 = body_ref[j + 3]

@@ -141,8 +141,8 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 r1y = con_s[base + 3]
                 r2x = con_s[base + 4]
                 r2y = con_s[base + 5]
-                i = b1_s[k] * 8
-                j = b2_s[k] * 8
+                i = b1_s[k]
+                j = b2_s[k]
                 im1 = body_ref[i + 3]
                 ii1 = body_ref[i + 4]
                 im2 = body_ref[j + 3]
@@ -159,6 +159,18 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 acc_s[k * 4 + 3] = 0.0
                 return 0
             jax.lax.fori_loop(0, cnt, one, 0)
+            # dead tail: only the accumulators need initializing (their
+            # rows are exact no-ops in every later pass)
+            jax.lax.fori_loop(cnt, BLK, _acc_zero(acc_s), 0)
+
+        def _acc_zero(acc_s):
+            def zero(k, _):
+                acc_s[k * 4] = 0.0
+                acc_s[k * 4 + 1] = 0.0
+                acc_s[k * 4 + 2] = 0.0
+                acc_s[k * 4 + 3] = 0.0
+                return 0
+            return zero
 
         def vel_sweep(bufs, cnt):
             b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
@@ -176,8 +188,8 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 fr = con_s[base + 8]
                 dstv = con_s[base + 9]
                 ctn = con_s[base + 11]
-                i = b1_s[k] * 8
-                j = b2_s[k] * 8
+                i = b1_s[k]
+                j = b2_s[k]
                 im1 = body_ref[i + 3]
                 ii1 = body_ref[i + 4]
                 im2 = body_ref[j + 3]
@@ -233,8 +245,8 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 r2y = con_s[base + 5]
                 mn = con_s[base + 6]
                 ddv = con_s[base + 10]
-                i = b1_s[k] * 8
-                j = b2_s[k] * 8
+                i = b1_s[k]
+                j = b2_s[k]
                 im1 = body_ref[i + 3]
                 ii1 = body_ref[i + 4]
                 im2 = body_ref[j + 3]
@@ -300,8 +312,8 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 wy = warm_s[k * 2 + 1]
                 px = jnp.where(is_rev, wx, con_s[base] * wx)
                 py = jnp.where(is_rev, wy, con_s[base + 1] * wx)
-                i = b1_s[k] * 8
-                j = b2_s[k] * 8
+                i = b1_s[k]
+                j = b2_s[k]
                 joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
                 acc_s[k * 4] = wx
                 acc_s[k * 4 + 1] = jnp.where(is_rev, wy, 0.0)
@@ -309,6 +321,7 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 acc_s[k * 4 + 3] = 0.0
                 return 0
             jax.lax.fori_loop(0, cnt, one, 0)
+            jax.lax.fori_loop(cnt, BLK, _acc_zero(acc_s), 0)
 
         def joint_vel_sweep(bufs, cnt):
             b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
@@ -316,8 +329,8 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
             def one(k, _):
                 base = k * 12
                 is_rev, r1x, r1y, r2x, r2y = joint_geom(con_s, base)
-                i = b1_s[k] * 8
-                j = b2_s[k] * 8
+                i = b1_s[k]
+                j = b2_s[k]
                 vx1 = body_ref[i]
                 vy1 = body_ref[i + 1]
                 w1 = body_ref[i + 2]
@@ -352,8 +365,8 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
             def one(k, _):
                 base = k * 12
                 is_rev, r1x, r1y, r2x, r2y = joint_geom(con_s, base)
-                i = b1_s[k] * 8
-                j = b2_s[k] * 8
+                i = b1_s[k]
+                j = b2_s[k]
                 px1 = body_ref[i + 5]
                 py1 = body_ref[i + 6]
                 q1 = body_ref[i + 7]
@@ -437,17 +450,17 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                     jnp.clip(numj - (b - c_blocks) * BLK, 0, BLK),
                     jnp.clip(num - b * BLK, 0, BLK))
                 jax.lax.switch(kind + 3 * is_j, [
-                    lambda: warm_sweep(cur, BLK),
+                    lambda: warm_sweep(cur, cnt),
                     lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
                     lambda: pos_sweep(cur, cnt),
-                    lambda: joint_warm_sweep(cur, BLK),
+                    lambda: joint_warm_sweep(cur, cnt),
                     lambda: gated_vel(lambda: joint_vel_sweep(cur, cnt)),
                     lambda: joint_pos_sweep(cur, cnt),
                 ])
             else:
                 cnt = jnp.clip(num - b * BLK, 0, BLK)
                 jax.lax.switch(kind, [
-                    lambda: warm_sweep(cur, BLK),
+                    lambda: warm_sweep(cur, cnt),
                     lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
                     lambda: pos_sweep(cur, cnt),
                 ])

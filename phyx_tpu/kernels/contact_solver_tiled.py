@@ -117,7 +117,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
 
         # --- per-contact sweeps; body indices are window-local ---
 
-        def warm_sweep(bufs, base):
+        def warm_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
 
             def one(k, _):
@@ -132,8 +132,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 r1y = conr[cb + 3]
                 r2x = conr[cb + 4]
                 r2y = conr[cb + 5]
-                i = (b1r[k] - base) * 8
-                j = (b2r[k] - base) * 8
+                i = b1r[k] - base8
+                j = b2r[k] - base8
                 im1 = win_ref[i + 3]
                 ii1 = win_ref[i + 4]
                 im2 = win_ref[j + 3]
@@ -149,9 +149,20 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 accr[k * 4 + 2] = 0.0
                 accr[k * 4 + 3] = 0.0
                 return 0
-            jax.lax.fori_loop(0, BLK, one, 0)
+            jax.lax.fori_loop(0, cnt, one, 0)
+            # dead tail: only the accumulators need initializing
+            jax.lax.fori_loop(cnt, BLK, _acc_zero(accr), 0)
 
-        def vel_sweep(bufs, base, cnt):
+        def _acc_zero(accr):
+            def zero(k, _):
+                accr[k * 4] = 0.0
+                accr[k * 4 + 1] = 0.0
+                accr[k * 4 + 2] = 0.0
+                accr[k * 4 + 3] = 0.0
+                return 0
+            return zero
+
+        def vel_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
 
             def one(k, _):
@@ -167,8 +178,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 fr = conr[cb + 8]
                 dstv = conr[cb + 9]
                 ctn = conr[cb + 11]
-                i = (b1r[k] - base) * 8
-                j = (b2r[k] - base) * 8
+                i = b1r[k] - base8
+                j = b2r[k] - base8
                 im1 = win_ref[i + 3]
                 ii1 = win_ref[i + 4]
                 im2 = win_ref[j + 3]
@@ -211,7 +222,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 return 0
             jax.lax.fori_loop(0, cnt, one, 0)
 
-        def pos_sweep(bufs, base, cnt):
+        def pos_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
 
             def one(k, _):
@@ -224,8 +235,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 r2y = conr[cb + 5]
                 mn = conr[cb + 6]
                 ddv = conr[cb + 10]
-                i = (b1r[k] - base) * 8
-                j = (b2r[k] - base) * 8
+                i = b1r[k] - base8
+                j = b2r[k] - base8
                 im1 = win_ref[i + 3]
                 ii1 = win_ref[i + 4]
                 im2 = win_ref[j + 3]
@@ -281,7 +292,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             r2y = jnp.where(is_rev, conr[cb + 3], conr[cb + 5])
             return is_rev, r1x, r1y, r2x, r2y
 
-        def joint_warm_sweep(bufs, base):
+        def joint_warm_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
 
             def one(k, _):
@@ -291,24 +302,25 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 wy = warmr[k * 2 + 1]
                 px = jnp.where(is_rev, wx, conr[cb] * wx)
                 py = jnp.where(is_rev, wy, conr[cb + 1] * wx)
-                i = (b1r[k] - base) * 8
-                j = (b2r[k] - base) * 8
+                i = b1r[k] - base8
+                j = b2r[k] - base8
                 joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
                 accr[k * 4] = wx
                 accr[k * 4 + 1] = jnp.where(is_rev, wy, 0.0)
                 accr[k * 4 + 2] = 0.0
                 accr[k * 4 + 3] = 0.0
                 return 0
-            jax.lax.fori_loop(0, BLK, one, 0)
+            jax.lax.fori_loop(0, cnt, one, 0)
+            jax.lax.fori_loop(cnt, BLK, _acc_zero(accr), 0)
 
-        def joint_vel_sweep(bufs, base, cnt):
+        def joint_vel_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
 
             def one(k, _):
                 cb = k * 12
                 is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
-                i = (b1r[k] - base) * 8
-                j = (b2r[k] - base) * 8
+                i = b1r[k] - base8
+                j = b2r[k] - base8
                 vx1 = win_ref[i]
                 vy1 = win_ref[i + 1]
                 w1 = win_ref[i + 2]
@@ -336,14 +348,14 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 return 0
             jax.lax.fori_loop(0, cnt, one, 0)
 
-        def joint_pos_sweep(bufs, base, cnt):
+        def joint_pos_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
 
             def one(k, _):
                 cb = k * 12
                 is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
-                i = (b1r[k] - base) * 8
-                j = (b2r[k] - base) * 8
+                i = b1r[k] - base8
+                j = b2r[k] - base8
                 px1 = win_ref[i + 5]
                 py1 = win_ref[i + 6]
                 q1 = win_ref[i + 7]
@@ -382,7 +394,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             """g = global block step index (for buffer hazard bookkeeping);
             bi = block-within-slab; global block id = s*bps + bi."""
             blk = s * bps + bi
-            base = s * slab_stride
+            base8 = s * (slab_stride * 8)
 
             @pl.when(g + 1 < total_blocks)
             def _():
@@ -407,19 +419,19 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                              0, BLK),
                     jnp.clip(num_ref[s] - bi * BLK, 0, BLK))
                 jax.lax.switch(kind + 3 * is_j, [
-                    lambda: warm_sweep(cur, base),
-                    lambda: vel_sweep(cur, base, cnt),
-                    lambda: pos_sweep(cur, base, cnt),
-                    lambda: joint_warm_sweep(cur, base),
-                    lambda: joint_vel_sweep(cur, base, cnt),
-                    lambda: joint_pos_sweep(cur, base, cnt),
+                    lambda: warm_sweep(cur, base8, cnt),
+                    lambda: vel_sweep(cur, base8, cnt),
+                    lambda: pos_sweep(cur, base8, cnt),
+                    lambda: joint_warm_sweep(cur, base8, cnt),
+                    lambda: joint_vel_sweep(cur, base8, cnt),
+                    lambda: joint_pos_sweep(cur, base8, cnt),
                 ])
             else:
                 cnt = jnp.clip(num_ref[s] - bi * BLK, 0, BLK)
                 jax.lax.switch(kind, [
-                    lambda: warm_sweep(cur, base),
-                    lambda: vel_sweep(cur, base, cnt),
-                    lambda: pos_sweep(cur, base, cnt),
+                    lambda: warm_sweep(cur, base8, cnt),
+                    lambda: vel_sweep(cur, base8, cnt),
+                    lambda: pos_sweep(cur, base8, cnt),
                 ])
 
             acc_out_copy(cur, blk).start()

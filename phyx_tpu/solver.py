@@ -271,6 +271,10 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
     con_flat = con_flat.reshape(-1)
     warm_flat = warm_flat.reshape(-1)
 
+    # Body ids are pre-scaled to row offsets (id * 8) so the serial sweeps
+    # skip the per-visit index multiply (every pass, every kernel).
+    b1 = b1 * 8
+    b2 = b2 * 8
     if streamed:
         from phyx_tpu.kernels.contact_solver_streamed import \
             solve_contacts_streamed
@@ -471,6 +475,9 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         slab_counts = jnp.concatenate(
             [counts_c, jnp.zeros((n_slabs,), jnp.int32)])
 
+    # pre-scaled to row offsets (see solve_pallas): sweeps use b - base*8
+    t_b1 = t_b1 * 8
+    t_b2 = t_b2 * 8
     body_out, acc, res = solve_contacts_tiled(
         embedded.reshape(-1), t_b1, t_b2, t_con.reshape(-1),
         t_warm.reshape(-1), slab_counts,
