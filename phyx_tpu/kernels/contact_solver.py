@@ -114,41 +114,47 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
             acc_ref[k * 4 + 1] = jnp.where(is_rev, wy, 0.0)
             return 0
 
-        def joint_vel_one(kk, _):
-            k = c_cap + kk
-            base, i, j = joint_load(k)
-            kind = con_ref[base + 11]
-            is_rev = kind == 1.0
-            r1x = jnp.where(is_rev, con_ref[base], con_ref[base + 2])
-            r1y = jnp.where(is_rev, con_ref[base + 1], con_ref[base + 3])
-            r2x = jnp.where(is_rev, con_ref[base + 2], con_ref[base + 4])
-            r2y = jnp.where(is_rev, con_ref[base + 3], con_ref[base + 5])
-            vx1 = body_ref[i]
-            vy1 = body_ref[i + 1]
-            w1 = body_ref[i + 2]
-            vx2 = body_ref[j]
-            vy2 = body_ref[j + 1]
-            w2 = body_ref[j + 2]
-            dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
-            dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
-            # revolute: impulse = -(M @ dv); distance: -mass * (n . dv) * n
-            m00 = con_ref[base + 4]
-            m01 = con_ref[base + 5]
-            m11 = con_ref[base + 6]
-            px_r = -(m00 * dvx + m01 * dvy)
-            py_r = -(m01 * dvx + m11 * dvy)
-            nx = con_ref[base]
-            ny = con_ref[base + 1]
-            dd = -(con_ref[base + 6]) * (nx * dvx + ny * dvy)
-            px = jnp.where(is_rev, px_r, nx * dd)
-            py = jnp.where(is_rev, py_r, ny * dd)
-            acc_ref[k * 4] = acc_ref[k * 4] + jnp.where(is_rev, px, dd)
-            acc_ref[k * 4 + 1] = acc_ref[k * 4 + 1] + jnp.where(
-                is_rev, py, 0.0)
-            joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
-            res_ref[0] = jnp.maximum(
-                res_ref[0], jnp.maximum(jnp.abs(px), jnp.abs(py)))
-            return 0
+        def make_joint_vel_one(with_res):
+            def joint_vel_one(kk, _):
+                k = c_cap + kk
+                base, i, j = joint_load(k)
+                kind = con_ref[base + 11]
+                is_rev = kind == 1.0
+                r1x = jnp.where(is_rev, con_ref[base], con_ref[base + 2])
+                r1y = jnp.where(is_rev, con_ref[base + 1], con_ref[base + 3])
+                r2x = jnp.where(is_rev, con_ref[base + 2], con_ref[base + 4])
+                r2y = jnp.where(is_rev, con_ref[base + 3], con_ref[base + 5])
+                vx1 = body_ref[i]
+                vy1 = body_ref[i + 1]
+                w1 = body_ref[i + 2]
+                vx2 = body_ref[j]
+                vy2 = body_ref[j + 1]
+                w2 = body_ref[j + 2]
+                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                # revolute: impulse = -(M @ dv); distance: -m * (n.dv) * n
+                m00 = con_ref[base + 4]
+                m01 = con_ref[base + 5]
+                m11 = con_ref[base + 6]
+                px_r = -(m00 * dvx + m01 * dvy)
+                py_r = -(m01 * dvx + m11 * dvy)
+                nx = con_ref[base]
+                ny = con_ref[base + 1]
+                dd = -(con_ref[base + 6]) * (nx * dvx + ny * dvy)
+                px = jnp.where(is_rev, px_r, nx * dd)
+                py = jnp.where(is_rev, py_r, ny * dd)
+                acc_ref[k * 4] = acc_ref[k * 4] + jnp.where(is_rev, px, dd)
+                acc_ref[k * 4 + 1] = acc_ref[k * 4 + 1] + jnp.where(
+                    is_rev, py, 0.0)
+                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
+                if with_res:
+                    res_ref[0] = jnp.maximum(
+                        res_ref[0], jnp.maximum(jnp.abs(px), jnp.abs(py)))
+                return 0
+            return joint_vel_one
+
+        joint_vel_one = make_joint_vel_one(True)
+        joint_vel_one_nores = make_joint_vel_one(False)
 
         def joint_pos_one(kk, _):
             k = c_cap + kk
@@ -223,7 +229,10 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
             jax.lax.fori_loop(0, numj, joint_warm_one, 0)
 
         # -- velocity iterations (hot loop #1) --
-        def vel_iter(_, carry):
+        # ``with_res`` builds the residual-recording variant; the residual
+        # is only REPORTED for the last executed pass, so when vel_tol is
+        # off the earlier passes run a ~5-op-cheaper sweep body.
+        def make_vel_one(with_res):
             def one(k, res):
                 base = k * 12
                 nx = con_ref[base]
@@ -262,7 +271,8 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
                 na = jnp.maximum(a + d, 0.0)
                 dn = na - a
                 acc_ref[k * 4] = na
-                res = jnp.maximum(res, jnp.abs(dn))
+                if with_res:
+                    res = jnp.maximum(res, jnp.abs(dn))
                 # friction limiter on the exact post-normal tangent velocity
                 d = -(vt + ctn * dn) * mt
                 a = acc_ref[k * 4 + 1]
@@ -279,29 +289,44 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
                 body_ref[j] = vx2 + px * im2
                 body_ref[j + 1] = vy2 + py * im2
                 body_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
-                return jnp.maximum(res, jnp.abs(dt))
+                if with_res:
+                    return jnp.maximum(res, jnp.abs(dt))
+                return res
+            return one
 
-            def run_sweep():
-                res = jax.lax.fori_loop(0, num, one, jnp.float32(0.0))
-                res_ref[0] = res   # overwritten -> last EXECUTED iter's
-                if j_cap:
-                    jax.lax.fori_loop(0, numj, joint_vel_one, 0)
-                if vel_tol > 0.0:
+        vel_one_res = make_vel_one(True)
+
+        def run_res_sweep():
+            res = jax.lax.fori_loop(0, num, vel_one_res, jnp.float32(0.0))
+            res_ref[0] = res   # overwritten -> last EXECUTED iter's
+            if j_cap:
+                jax.lax.fori_loop(0, numj, joint_vel_one, 0)
+
+        if vel_tol > 0.0:
+            # residual-gated early exit needs the residual EVERY pass:
+            # once an iteration's residual (contacts + joints) drops below
+            # vel_tol, the remaining velocity iterations are skipped
+            def vel_iter(_, carry):
+                @pl.when(conv_ref[0] == 0)
+                def _():
+                    run_res_sweep()
                     @pl.when(res_ref[0] < vel_tol)
                     def _():
                         conv_ref[0] = 1
+                return carry
+            jax.lax.fori_loop(0, vel_iters, vel_iter, 0)
+        else:
+            vel_one_fast = make_vel_one(False)
 
-            if vel_tol > 0.0:
-                # residual-gated early exit: once an iteration's residual
-                # (contacts + joints) drops below vel_tol, the remaining
-                # velocity iterations are skipped (cfg.velocity_tol)
-                @pl.when(conv_ref[0] == 0)
-                def _():
-                    run_sweep()
-            else:
-                run_sweep()
-            return carry
-        jax.lax.fori_loop(0, vel_iters, vel_iter, 0)
+            def vel_iter_fast(_, carry):
+                jax.lax.fori_loop(0, num, vel_one_fast, jnp.float32(0.0))
+                if j_cap:
+                    jax.lax.fori_loop(0, numj, joint_vel_one_nores, 0)
+                return carry
+            jax.lax.fori_loop(0, max(vel_iters - 1, 0), vel_iter_fast, 0)
+            res_ref[0] = 0.0
+            if vel_iters > 0:
+                run_res_sweep()
 
         # -- position (displacement) iterations on pseudo-velocities --
         def pos_iter(_, carry):

@@ -172,65 +172,75 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 return 0
             return zero
 
-        def vel_sweep(bufs, cnt):
-            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+        def make_vel_sweep(with_res):
+            # ``with_res`` records the residual; only the LAST executed
+            # velocity pass is reported, so when vel_tol is off the other
+            # passes run this body without the ~6 residual ops per visit.
+            def vel_sweep(bufs, cnt):
+                b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
 
-            def one(k, _):
-                base = k * 12
-                nx = con_s[base]
-                ny = con_s[base + 1]
-                r1x = con_s[base + 2]
-                r1y = con_s[base + 3]
-                r2x = con_s[base + 4]
-                r2y = con_s[base + 5]
-                mn = con_s[base + 6]
-                mt = con_s[base + 7]
-                fr = con_s[base + 8]
-                dstv = con_s[base + 9]
-                ctn = con_s[base + 11]
-                i = b1_s[k]
-                j = b2_s[k]
-                im1 = body_ref[i + 3]
-                ii1 = body_ref[i + 4]
-                im2 = body_ref[j + 3]
-                ii2 = body_ref[j + 4]
-                vx1 = body_ref[i]
-                vy1 = body_ref[i + 1]
-                w1 = body_ref[i + 2]
-                vx2 = body_ref[j]
-                vy2 = body_ref[j + 1]
-                w2 = body_ref[j + 2]
-                # ONE relative-velocity evaluation; exact post-normal vt
-                # via the precomputed coupling ctn = J_t M^-1 J_n^T.
-                # Op order matches kernels/contact_solver.py bit-for-bit.
-                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
-                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
-                vn = nx * dvx + ny * dvy
-                vt = -ny * dvx + nx * dvy
-                d = (dstv - vn) * mn
-                a = acc_s[k * 4]
-                na = jnp.maximum(a + d, 0.0)
-                dn = na - a
-                acc_s[k * 4] = na
-                res = jnp.abs(dn)
-                d = -(vt + ctn * dn) * mt
-                a = acc_s[k * 4 + 1]
-                mf = fr * na
-                ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
-                dt = ta - a
-                acc_s[k * 4 + 1] = ta
-                px = nx * dn - ny * dt
-                py = ny * dn + nx * dt
-                body_ref[i] = vx1 - px * im1
-                body_ref[i + 1] = vy1 - py * im1
-                body_ref[i + 2] = w1 - ii1 * (r1x * py - r1y * px)
-                body_ref[j] = vx2 + px * im2
-                body_ref[j + 1] = vy2 + py * im2
-                body_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
-                res_ref[0] = jnp.maximum(res_ref[0],
-                                         jnp.maximum(res, jnp.abs(dt)))
-                return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+                def one(k, _):
+                    base = k * 12
+                    nx = con_s[base]
+                    ny = con_s[base + 1]
+                    r1x = con_s[base + 2]
+                    r1y = con_s[base + 3]
+                    r2x = con_s[base + 4]
+                    r2y = con_s[base + 5]
+                    mn = con_s[base + 6]
+                    mt = con_s[base + 7]
+                    fr = con_s[base + 8]
+                    dstv = con_s[base + 9]
+                    ctn = con_s[base + 11]
+                    i = b1_s[k]
+                    j = b2_s[k]
+                    im1 = body_ref[i + 3]
+                    ii1 = body_ref[i + 4]
+                    im2 = body_ref[j + 3]
+                    ii2 = body_ref[j + 4]
+                    vx1 = body_ref[i]
+                    vy1 = body_ref[i + 1]
+                    w1 = body_ref[i + 2]
+                    vx2 = body_ref[j]
+                    vy2 = body_ref[j + 1]
+                    w2 = body_ref[j + 2]
+                    # ONE relative-velocity evaluation; exact post-normal
+                    # vt via the precomputed coupling ctn = J_t M^-1 J_n^T.
+                    # Op order matches kernels/contact_solver.py bit-for-bit.
+                    dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                    dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                    vn = nx * dvx + ny * dvy
+                    vt = -ny * dvx + nx * dvy
+                    d = (dstv - vn) * mn
+                    a = acc_s[k * 4]
+                    na = jnp.maximum(a + d, 0.0)
+                    dn = na - a
+                    acc_s[k * 4] = na
+                    if with_res:
+                        res = jnp.abs(dn)
+                    d = -(vt + ctn * dn) * mt
+                    a = acc_s[k * 4 + 1]
+                    mf = fr * na
+                    ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
+                    dt = ta - a
+                    acc_s[k * 4 + 1] = ta
+                    px = nx * dn - ny * dt
+                    py = ny * dn + nx * dt
+                    body_ref[i] = vx1 - px * im1
+                    body_ref[i + 1] = vy1 - py * im1
+                    body_ref[i + 2] = w1 - ii1 * (r1x * py - r1y * px)
+                    body_ref[j] = vx2 + px * im2
+                    body_ref[j + 1] = vy2 + py * im2
+                    body_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
+                    if with_res:
+                        res_ref[0] = jnp.maximum(
+                            res_ref[0], jnp.maximum(res, jnp.abs(dt)))
+                    return 0
+                jax.lax.fori_loop(0, cnt, one, 0)
+            return vel_sweep
+
+        vel_sweep = make_vel_sweep(True)
+        vel_sweep_nores = make_vel_sweep(False)
 
         def pos_sweep(bufs, cnt):
             b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
@@ -323,41 +333,48 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
             jax.lax.fori_loop(0, cnt, one, 0)
             jax.lax.fori_loop(cnt, BLK, _acc_zero(acc_s), 0)
 
-        def joint_vel_sweep(bufs, cnt):
-            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+        def make_joint_vel_sweep(with_res):
+            def joint_vel_sweep(bufs, cnt):
+                b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
 
-            def one(k, _):
-                base = k * 12
-                is_rev, r1x, r1y, r2x, r2y = joint_geom(con_s, base)
-                i = b1_s[k]
-                j = b2_s[k]
-                vx1 = body_ref[i]
-                vy1 = body_ref[i + 1]
-                w1 = body_ref[i + 2]
-                vx2 = body_ref[j]
-                vy2 = body_ref[j + 1]
-                w2 = body_ref[j + 2]
-                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
-                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
-                # revolute: impulse = -(M @ dv); distance: -m*(n.dv) along n
-                m00 = con_s[base + 4]
-                m01 = con_s[base + 5]
-                m11 = con_s[base + 6]
-                px_r = -(m00 * dvx + m01 * dvy)
-                py_r = -(m01 * dvx + m11 * dvy)
-                nx = con_s[base]
-                ny = con_s[base + 1]
-                dd = -(con_s[base + 6]) * (nx * dvx + ny * dvy)
-                px = jnp.where(is_rev, px_r, nx * dd)
-                py = jnp.where(is_rev, py_r, ny * dd)
-                acc_s[k * 4] = acc_s[k * 4] + jnp.where(is_rev, px, dd)
-                acc_s[k * 4 + 1] = acc_s[k * 4 + 1] + jnp.where(
-                    is_rev, py, 0.0)
-                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
-                res_ref[0] = jnp.maximum(
-                    res_ref[0], jnp.maximum(jnp.abs(px), jnp.abs(py)))
-                return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+                def one(k, _):
+                    base = k * 12
+                    is_rev, r1x, r1y, r2x, r2y = joint_geom(con_s, base)
+                    i = b1_s[k]
+                    j = b2_s[k]
+                    vx1 = body_ref[i]
+                    vy1 = body_ref[i + 1]
+                    w1 = body_ref[i + 2]
+                    vx2 = body_ref[j]
+                    vy2 = body_ref[j + 1]
+                    w2 = body_ref[j + 2]
+                    dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                    dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                    # revolute: impulse = -(M @ dv); distance: -m*(n.dv) along n
+                    m00 = con_s[base + 4]
+                    m01 = con_s[base + 5]
+                    m11 = con_s[base + 6]
+                    px_r = -(m00 * dvx + m01 * dvy)
+                    py_r = -(m01 * dvx + m11 * dvy)
+                    nx = con_s[base]
+                    ny = con_s[base + 1]
+                    dd = -(con_s[base + 6]) * (nx * dvx + ny * dvy)
+                    px = jnp.where(is_rev, px_r, nx * dd)
+                    py = jnp.where(is_rev, py_r, ny * dd)
+                    acc_s[k * 4] = acc_s[k * 4] + jnp.where(is_rev, px, dd)
+                    acc_s[k * 4 + 1] = acc_s[k * 4 + 1] + jnp.where(
+                        is_rev, py, 0.0)
+                    joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
+                    if with_res:
+                        res_ref[0] = jnp.maximum(
+                            res_ref[0],
+                            jnp.maximum(jnp.abs(px), jnp.abs(py)))
+                    return 0
+                jax.lax.fori_loop(0, cnt, one, 0)
+            return joint_vel_sweep
+
+        joint_vel_sweep = make_joint_vel_sweep(True)
+        joint_vel_sweep_nores = make_joint_vel_sweep(False)
 
         def joint_pos_sweep(bufs, cnt):
             b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
@@ -418,52 +435,84 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
 
             wait_block(cur, b)
 
-            # Residual reports the LAST EXECUTED velocity pass: reset at
-            # the start of every velocity pass (unless early-exited).
-            @pl.when((b == 0) & (p >= 1) & (p <= vel_iters)
-                     & (conv_ref[0] == 0))
-            def _():
-                res_ref[0] = 0.0
-
-            # Pass kind: 0 warm, 1 velocity, 2 position — plus 3 for joint
-            # blocks.  The warm pass runs over the FULL block: it doubles
-            # as the acc initializer (acc_hbm starts uninitialized), and
-            # slots >= num are exact no-ops (warm = 0, masses = 0, clamped
-            # body ids).
-            kind = jnp.where(p == 0, 0, jnp.where(p <= vel_iters, 1, 2))
-
-            def gated_vel(f):
-                # residual-gated early exit (cfg.velocity_tol): skip the
-                # velocity SWEEP once converged; the DMA pipeline runs on
-                # (a skipped pass costs only its ~us of streaming)
-                if vel_tol > 0.0:
-                    @pl.when(conv_ref[0] == 0)
-                    def _():
-                        f()
-                else:
-                    f()
-
             if has_joints:
                 is_j = (b >= c_blocks).astype(jnp.int32)
                 cnt = jnp.where(
                     is_j == 1,
                     jnp.clip(numj - (b - c_blocks) * BLK, 0, BLK),
                     jnp.clip(num - b * BLK, 0, BLK))
-                jax.lax.switch(kind + 3 * is_j, [
-                    lambda: warm_sweep(cur, cnt),
-                    lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
-                    lambda: pos_sweep(cur, cnt),
-                    lambda: joint_warm_sweep(cur, cnt),
-                    lambda: gated_vel(lambda: joint_vel_sweep(cur, cnt)),
-                    lambda: joint_pos_sweep(cur, cnt),
-                ])
             else:
+                is_j = None
                 cnt = jnp.clip(num - b * BLK, 0, BLK)
-                jax.lax.switch(kind, [
-                    lambda: warm_sweep(cur, cnt),
-                    lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
-                    lambda: pos_sweep(cur, cnt),
-                ])
+
+            if vel_tol > 0.0:
+                # Residual-gated mode: EVERY velocity pass records the
+                # residual (the gate reads it); reset at the start of each
+                # velocity pass (unless early-exited).
+                @pl.when((b == 0) & (p >= 1) & (p <= vel_iters)
+                         & (conv_ref[0] == 0))
+                def _():
+                    res_ref[0] = 0.0
+
+                # Pass kind: 0 warm, 1 velocity, 2 position (+3 joints)
+                kind = jnp.where(p == 0, 0,
+                                 jnp.where(p <= vel_iters, 1, 2))
+
+                def gated_vel(f):
+                    # skip the velocity SWEEP once converged; the DMA
+                    # pipeline runs on (a skipped pass costs only its ~us
+                    # of streaming)
+                    @pl.when(conv_ref[0] == 0)
+                    def _():
+                        f()
+
+                if has_joints:
+                    jax.lax.switch(kind + 3 * is_j, [
+                        lambda: warm_sweep(cur, cnt),
+                        lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
+                        lambda: pos_sweep(cur, cnt),
+                        lambda: joint_warm_sweep(cur, cnt),
+                        lambda: gated_vel(
+                            lambda: joint_vel_sweep(cur, cnt)),
+                        lambda: joint_pos_sweep(cur, cnt),
+                    ])
+                else:
+                    jax.lax.switch(kind, [
+                        lambda: warm_sweep(cur, cnt),
+                        lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
+                        lambda: pos_sweep(cur, cnt),
+                    ])
+            else:
+                # Fixed-count mode: only the LAST velocity pass (the one
+                # whose residual is reported) pays the residual ops.
+                # Pass kind: 0 warm, 1 velocity (no residual), 2 last
+                # velocity (records residual), 3 position (+4 joints).
+                @pl.when((b == 0) & (p == vel_iters))
+                def _():
+                    res_ref[0] = 0.0
+
+                kind = jnp.where(
+                    p == 0, 0,
+                    jnp.where(p < vel_iters, 1,
+                              jnp.where(p == vel_iters, 2, 3)))
+                if has_joints:
+                    jax.lax.switch(kind + 4 * is_j, [
+                        lambda: warm_sweep(cur, cnt),
+                        lambda: vel_sweep_nores(cur, cnt),
+                        lambda: vel_sweep(cur, cnt),
+                        lambda: pos_sweep(cur, cnt),
+                        lambda: joint_warm_sweep(cur, cnt),
+                        lambda: joint_vel_sweep_nores(cur, cnt),
+                        lambda: joint_vel_sweep(cur, cnt),
+                        lambda: joint_pos_sweep(cur, cnt),
+                    ])
+                else:
+                    jax.lax.switch(kind, [
+                        lambda: warm_sweep(cur, cnt),
+                        lambda: vel_sweep_nores(cur, cnt),
+                        lambda: vel_sweep(cur, cnt),
+                        lambda: pos_sweep(cur, cnt),
+                    ])
 
             if vel_tol > 0.0:
                 # end of a velocity pass: latch convergence

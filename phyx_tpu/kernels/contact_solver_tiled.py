@@ -162,65 +162,73 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 return 0
             return zero
 
-        def vel_sweep(bufs, base8, cnt):
-            b1r, b2r, conr, warmr, accr = bufs[:5]
+        def make_vel_sweep(with_res):
+            def vel_sweep(bufs, base8, cnt):
+                b1r, b2r, conr, warmr, accr = bufs[:5]
 
-            def one(k, _):
-                cb = k * 12
-                nx = conr[cb]
-                ny = conr[cb + 1]
-                r1x = conr[cb + 2]
-                r1y = conr[cb + 3]
-                r2x = conr[cb + 4]
-                r2y = conr[cb + 5]
-                mn = conr[cb + 6]
-                mt = conr[cb + 7]
-                fr = conr[cb + 8]
-                dstv = conr[cb + 9]
-                ctn = conr[cb + 11]
-                i = b1r[k] - base8
-                j = b2r[k] - base8
-                im1 = win_ref[i + 3]
-                ii1 = win_ref[i + 4]
-                im2 = win_ref[j + 3]
-                ii2 = win_ref[j + 4]
-                vx1 = win_ref[i]
-                vy1 = win_ref[i + 1]
-                w1 = win_ref[i + 2]
-                vx2 = win_ref[j]
-                vy2 = win_ref[j + 1]
-                w2 = win_ref[j + 2]
-                # ONE relative-velocity evaluation; exact post-normal vt
-                # via the precomputed coupling ctn = J_t M^-1 J_n^T
-                # (solver.prepare) — same restructure as the fused kernel.
-                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
-                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
-                vn = nx * dvx + ny * dvy
-                vt = -ny * dvx + nx * dvy
-                d = (dstv - vn) * mn
-                a = accr[k * 4]
-                na = jnp.maximum(a + d, 0.0)
-                dn = na - a
-                accr[k * 4] = na
-                res = jnp.abs(dn)
-                d = -(vt + ctn * dn) * mt
-                a = accr[k * 4 + 1]
-                mf = fr * na
-                ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
-                dt = ta - a
-                accr[k * 4 + 1] = ta
-                px = nx * dn - ny * dt
-                py = ny * dn + nx * dt
-                win_ref[i] = vx1 - px * im1
-                win_ref[i + 1] = vy1 - py * im1
-                win_ref[i + 2] = w1 - ii1 * (r1x * py - r1y * px)
-                win_ref[j] = vx2 + px * im2
-                win_ref[j + 1] = vy2 + py * im2
-                win_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
-                res_ref[0] = jnp.maximum(res_ref[0],
-                                         jnp.maximum(res, jnp.abs(dt)))
-                return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+                def one(k, _):
+                    cb = k * 12
+                    nx = conr[cb]
+                    ny = conr[cb + 1]
+                    r1x = conr[cb + 2]
+                    r1y = conr[cb + 3]
+                    r2x = conr[cb + 4]
+                    r2y = conr[cb + 5]
+                    mn = conr[cb + 6]
+                    mt = conr[cb + 7]
+                    fr = conr[cb + 8]
+                    dstv = conr[cb + 9]
+                    ctn = conr[cb + 11]
+                    i = b1r[k] - base8
+                    j = b2r[k] - base8
+                    im1 = win_ref[i + 3]
+                    ii1 = win_ref[i + 4]
+                    im2 = win_ref[j + 3]
+                    ii2 = win_ref[j + 4]
+                    vx1 = win_ref[i]
+                    vy1 = win_ref[i + 1]
+                    w1 = win_ref[i + 2]
+                    vx2 = win_ref[j]
+                    vy2 = win_ref[j + 1]
+                    w2 = win_ref[j + 2]
+                    # ONE relative-velocity evaluation; exact post-normal vt
+                    # via the precomputed coupling ctn = J_t M^-1 J_n^T
+                    # (solver.prepare) — same restructure as the fused kernel.
+                    dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                    dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                    vn = nx * dvx + ny * dvy
+                    vt = -ny * dvx + nx * dvy
+                    d = (dstv - vn) * mn
+                    a = accr[k * 4]
+                    na = jnp.maximum(a + d, 0.0)
+                    dn = na - a
+                    accr[k * 4] = na
+                    if with_res:
+                        res = jnp.abs(dn)
+                    d = -(vt + ctn * dn) * mt
+                    a = accr[k * 4 + 1]
+                    mf = fr * na
+                    ta = jnp.minimum(jnp.maximum(a + d, -mf), mf)
+                    dt = ta - a
+                    accr[k * 4 + 1] = ta
+                    px = nx * dn - ny * dt
+                    py = ny * dn + nx * dt
+                    win_ref[i] = vx1 - px * im1
+                    win_ref[i + 1] = vy1 - py * im1
+                    win_ref[i + 2] = w1 - ii1 * (r1x * py - r1y * px)
+                    win_ref[j] = vx2 + px * im2
+                    win_ref[j + 1] = vy2 + py * im2
+                    win_ref[j + 2] = w2 + ii2 * (r2x * py - r2y * px)
+                    if with_res:
+                        res_ref[0] = jnp.maximum(
+                            res_ref[0], jnp.maximum(res, jnp.abs(dt)))
+                    return 0
+                jax.lax.fori_loop(0, cnt, one, 0)
+
+            return vel_sweep
+
+        vel_sweep = make_vel_sweep(True)
+        vel_sweep_nores = make_vel_sweep(False)
 
         def pos_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
@@ -313,40 +321,48 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             jax.lax.fori_loop(0, cnt, one, 0)
             jax.lax.fori_loop(cnt, BLK, _acc_zero(accr), 0)
 
-        def joint_vel_sweep(bufs, base8, cnt):
-            b1r, b2r, conr, warmr, accr = bufs[:5]
+        def make_joint_vel_sweep(with_res):
+            def joint_vel_sweep(bufs, base8, cnt):
+                b1r, b2r, conr, warmr, accr = bufs[:5]
 
-            def one(k, _):
-                cb = k * 12
-                is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
-                i = b1r[k] - base8
-                j = b2r[k] - base8
-                vx1 = win_ref[i]
-                vy1 = win_ref[i + 1]
-                w1 = win_ref[i + 2]
-                vx2 = win_ref[j]
-                vy2 = win_ref[j + 1]
-                w2 = win_ref[j + 2]
-                dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
-                dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
-                m00 = conr[cb + 4]
-                m01 = conr[cb + 5]
-                m11 = conr[cb + 6]
-                px_r = -(m00 * dvx + m01 * dvy)
-                py_r = -(m01 * dvx + m11 * dvy)
-                nx = conr[cb]
-                ny = conr[cb + 1]
-                dd = -(conr[cb + 6]) * (nx * dvx + ny * dvy)
-                px = jnp.where(is_rev, px_r, nx * dd)
-                py = jnp.where(is_rev, py_r, ny * dd)
-                accr[k * 4] = accr[k * 4] + jnp.where(is_rev, px, dd)
-                accr[k * 4 + 1] = accr[k * 4 + 1] + jnp.where(
-                    is_rev, py, 0.0)
-                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
-                res_ref[0] = jnp.maximum(
-                    res_ref[0], jnp.maximum(jnp.abs(px), jnp.abs(py)))
-                return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+                def one(k, _):
+                    cb = k * 12
+                    is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
+                    i = b1r[k] - base8
+                    j = b2r[k] - base8
+                    vx1 = win_ref[i]
+                    vy1 = win_ref[i + 1]
+                    w1 = win_ref[i + 2]
+                    vx2 = win_ref[j]
+                    vy2 = win_ref[j + 1]
+                    w2 = win_ref[j + 2]
+                    dvx = vx2 - w2 * r2y - vx1 + w1 * r1y
+                    dvy = vy2 + w2 * r2x - vy1 - w1 * r1x
+                    m00 = conr[cb + 4]
+                    m01 = conr[cb + 5]
+                    m11 = conr[cb + 6]
+                    px_r = -(m00 * dvx + m01 * dvy)
+                    py_r = -(m01 * dvx + m11 * dvy)
+                    nx = conr[cb]
+                    ny = conr[cb + 1]
+                    dd = -(conr[cb + 6]) * (nx * dvx + ny * dvy)
+                    px = jnp.where(is_rev, px_r, nx * dd)
+                    py = jnp.where(is_rev, py_r, ny * dd)
+                    accr[k * 4] = accr[k * 4] + jnp.where(is_rev, px, dd)
+                    accr[k * 4 + 1] = accr[k * 4 + 1] + jnp.where(
+                        is_rev, py, 0.0)
+                    joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
+                    if with_res:
+                        res_ref[0] = jnp.maximum(
+                            res_ref[0],
+                            jnp.maximum(jnp.abs(px), jnp.abs(py)))
+                    return 0
+                jax.lax.fori_loop(0, cnt, one, 0)
+
+            return joint_vel_sweep
+
+        joint_vel_sweep = make_joint_vel_sweep(True)
+        joint_vel_sweep_nores = make_joint_vel_sweep(False)
 
         def joint_pos_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
@@ -406,11 +422,18 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
 
             wait_block(cur, blk)
 
-            @pl.when((blk == 0) & (p >= 1) & (p <= vel_iters))
+            # The residual is reported for the LAST velocity pass only, so
+            # earlier velocity passes run the no-residual sweep variant
+            # (~6 fewer ops per live visit).
+            @pl.when((blk == 0) & (p == vel_iters))
             def _():
                 res_ref[0] = 0.0
 
-            kind = jnp.where(p == 0, 0, jnp.where(p <= vel_iters, 1, 2))
+            # 0 warm, 1 velocity (no residual), 2 last velocity, 3 position
+            kind = jnp.where(
+                p == 0, 0,
+                jnp.where(p < vel_iters, 1,
+                          jnp.where(p == vel_iters, 2, 3)))
             if has_joints:
                 is_j = (bi >= cbps).astype(jnp.int32)
                 cnt = jnp.where(
@@ -418,11 +441,13 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     jnp.clip(num_ref[n_slabs + s] - (bi - cbps) * BLK,
                              0, BLK),
                     jnp.clip(num_ref[s] - bi * BLK, 0, BLK))
-                jax.lax.switch(kind + 3 * is_j, [
+                jax.lax.switch(kind + 4 * is_j, [
                     lambda: warm_sweep(cur, base8, cnt),
+                    lambda: vel_sweep_nores(cur, base8, cnt),
                     lambda: vel_sweep(cur, base8, cnt),
                     lambda: pos_sweep(cur, base8, cnt),
                     lambda: joint_warm_sweep(cur, base8, cnt),
+                    lambda: joint_vel_sweep_nores(cur, base8, cnt),
                     lambda: joint_vel_sweep(cur, base8, cnt),
                     lambda: joint_pos_sweep(cur, base8, cnt),
                 ])
@@ -430,6 +455,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 cnt = jnp.clip(num_ref[s] - bi * BLK, 0, BLK)
                 jax.lax.switch(kind, [
                     lambda: warm_sweep(cur, base8, cnt),
+                    lambda: vel_sweep_nores(cur, base8, cnt),
                     lambda: vel_sweep(cur, base8, cnt),
                     lambda: pos_sweep(cur, base8, cnt),
                 ])
