@@ -49,9 +49,16 @@ def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig) -> Contacts:
         jnp.zeros_like(bodies.angvel[:, None]),
     ], axis=1)                           # (N, 8)
     # XLA's native row gather measured faster than a serial Pallas scalar
-    # gather on v5e (fenced, ~8 ms/step at 10k) — keep it plain.
-    p1 = props[b1]
-    p2 = props[b2]
+    # gather on v5e (fenced, ~8 ms/step at 10k) — keep it plain.  Row
+    # gathers are row-serialized on this chip, so gather at PAIR
+    # granularity (both points of pair p — slots 2p, 2p+1 — share the
+    # same bodies by construction, narrowphase.Contacts docstring) and
+    # expand x2 with a free broadcast-reshape: half the gather rows.
+    def pair_gather(idx):
+        rows = props[idx[::2]]                     # (C/2, 8)
+        return jnp.repeat(rows, 2, axis=0)         # (C, 8) no gather
+    p1 = pair_gather(b1)
+    p2 = pair_gather(b2)
     im1, im2 = p1[:, 3], p2[:, 3]
     ii1, ii2 = p1[:, 4], p2[:, 4]
 
