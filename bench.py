@@ -68,7 +68,7 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str):
 
 def build(scene: str, boxes: int, backend: str, broadphase: str = "sap",
           sap_window: int = 96, sap_hits: int = 8,
-          pairs_per_box: float = 0.0):
+          pairs_per_box: float = 0.0, velocity_tol: float = 0.0):
     cap = 1
     while cap < boxes + 8:
         cap *= 2
@@ -97,10 +97,19 @@ def build(scene: str, boxes: int, backend: str, broadphase: str = "sap",
         sap_hits=sap_hits,
         num_colors=24,
         solver_backend=backend,
+        velocity_tol=velocity_tol,
     )
     kw = {} if joint_scene else {"seed": 0}
     sb = getattr(scenes, scene)(cfg, boxes, **kw)
     return cfg, sb.build()
+
+
+def _suggest_window(st) -> int:
+    from phyx_tpu.broadphase import suggest_sap_window
+    try:
+        return int(suggest_sap_window(st.bodies))
+    except Exception:
+        return -1
 
 
 def main():
@@ -124,6 +133,10 @@ def main():
     ap.add_argument("--sap-hits", type=int, default=8)
     ap.add_argument("--pairs-per-box", type=float, default=0.0,
                     help="pair budget per box (0 = per-scene policy)")
+    ap.add_argument("--velocity-tol", type=float, default=0.0,
+                    help="residual-gated velocity early exit (0 = off; "
+                         "changes solver semantics — reported numbers use "
+                         "fixed iteration counts)")
     ap.add_argument("--envs", type=int, default=64,
                     help="env count for --scene envs (boxes = per-env size)")
     args = ap.parse_args()
@@ -133,7 +146,7 @@ def main():
     else:
         cfg, st = build(args.scene, args.boxes, args.backend,
                         args.broadphase, args.sap_window, args.sap_hits,
-                        args.pairs_per_box)
+                        args.pairs_per_box, args.velocity_tol)
 
     def fence(s):
         # jax.block_until_ready can return before remote execution finishes
@@ -200,6 +213,9 @@ def main():
             "backend": jax.default_backend(),
             "solver_backend": args.backend,
             "noise_floor": noise_floor,
+            # window-sizing policy readout on the measured (settled) state:
+            # compare against --sap-window; resize if overflow fires
+            "suggested_sap_window": _suggest_window(st),
         },
     }))
 
