@@ -585,7 +585,7 @@ def solve_contacts_streamed(
     kern = _streamed_kernel(vel_iters, pos_iters, n_blocks, n_cap, c_blocks,
                             vel_tol)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
     def bufset():
         return [

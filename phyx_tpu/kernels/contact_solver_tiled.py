@@ -555,7 +555,7 @@ def solve_contacts_tiled(
     kern = _tiled_kernel(vel_iters, pos_iters, n_slabs, cbps, jbps,
                          window_rows, slab_stride)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
     def bufset():
         return [

@@ -234,7 +234,7 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
         cnt_ref[0] = cnt
         ovf_ref[0] = ovf
 
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     pi, pj, cnt, ovf = pl.pallas_call(
         kern,
