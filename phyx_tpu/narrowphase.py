@@ -68,6 +68,16 @@ def _sel(cond, a, b):
     return jnp.where(cond[..., None] if a.ndim > cond.ndim else cond, a, b)
 
 
+def _comp(v, k):
+    """v[:, k] for per-row k in {0, 1} as a pure VPU select.
+
+    ``jnp.take_along_axis`` lowers to a row-serialized gather on TPU
+    (~10 ns/element, measured — BASELINE.md); 13 of them over the pair
+    buffer made narrowphase the #2 step cost (~6.7 ms of a 57 ms step at
+    10k).  A 2-way where() is a single vector op."""
+    return jnp.where(k == 1, v[:, 1], v[:, 0])
+
+
 def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
     """Batched SAT + clip over the pair buffer -> flat Contacts."""
     n = bodies.capacity
@@ -116,7 +126,7 @@ def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
     inc_h = _sel(use_b, ha, hb)
     axis = jnp.where(use_b, axis_b, axis_a)           # (P,) 0 or 1
     d_ref = _sel(use_b, db, da)
-    axc = jnp.take_along_axis(d_ref, axis[:, None], axis=1)[:, 0]
+    axc = _comp(d_ref, axis)
     sign = jnp.where(axc >= 0.0, 1.0, -1.0)
 
     # Reference face world normal: sign * ref_R[:, axis]
@@ -129,7 +139,7 @@ def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
     # Incident face: most anti-parallel to n_face, in incident-local frame
     n_inc = m2.rot_inv_apply(inc_r, n_face)
     inc_axis = (jnp.abs(n_inc[:, 1]) > jnp.abs(n_inc[:, 0])).astype(jnp.int32)
-    inc_comp = jnp.take_along_axis(n_inc, inc_axis[:, None], axis=1)[:, 0]
+    inc_comp = _comp(n_inc, inc_axis)
     inc_sign = jnp.where(inc_comp >= 0.0, -1.0, 1.0)
 
     # face index: axis==0 -> (0 if sign>0 else 2); axis==1 -> (1 or 3)
@@ -158,9 +168,9 @@ def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
 
     # Clip against the two side planes of the reference face
     other = 1 - axis
-    ref_h_other = jnp.take_along_axis(ref_h, other[:, None], axis=1)[:, 0]
-    p0o = jnp.take_along_axis(p0, other[:, None], axis=1)[:, 0]
-    p1o = jnp.take_along_axis(p1, other[:, None], axis=1)[:, 0]
+    ref_h_other = _comp(ref_h, other)
+    p0o = _comp(p0, other)
+    p1o = _comp(p1, other)
 
     fully_out = jnp.zeros_like(overlapping)
     for plane_sign in (-1.0, 1.0):
@@ -172,16 +182,16 @@ def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
         new_p0 = _sel(d0 > 0.0, p0 + (p1 - p0) * t0[:, None], p0)
         new_p1 = _sel(d1 > 0.0, p1 + (p0 - p1) * t1[:, None], p1)
         p0, p1 = new_p0, new_p1
-        p0o = jnp.take_along_axis(p0, other[:, None], axis=1)[:, 0]
-        p1o = jnp.take_along_axis(p1, other[:, None], axis=1)[:, 0]
+        p0o = _comp(p0, other)
+        p1o = _comp(p1, other)
 
     pair_ok = overlapping & ~fully_out
     flip = jnp.where(use_b, 4, 0)
 
     # Per-point separation along the reference axis; keep if penetrating
     def finish_point(p_local, vid):
-        w_axis = jnp.take_along_axis(p_local, axis[:, None], axis=1)[:, 0]
-        ref_h_axis = jnp.take_along_axis(ref_h, axis[:, None], axis=1)[:, 0]
+        w_axis = _comp(p_local, axis)
+        ref_h_axis = _comp(ref_h, axis)
         separation = sign * w_axis - ref_h_axis
         ok = pair_ok & (separation <= 0.0)
         p_world = ref_p + m2.rot_apply(ref_r, p_local)
