@@ -128,33 +128,64 @@ def step(state: State, cfg: SimConfig) -> State:
             from phyx_tpu.joints import prepare_joint_rows
             joint_rows, joint_warm = prepare_joint_rows(
                 bodies, state.joints, cfg)
-        # Compact live contacts to the front (stable, so the sweep order of
-        # valid rows is unchanged): the serial kernel then visits only live
-        # rows — SAT rejects ~30% of candidate slots in dense piles, and
-        # each dead slot would still cost a full sweep body.
-        order = jnp.argsort(jnp.logical_not(contacts.valid))
-        compacted = jax.tree.map(lambda x: x[order], contacts)
-        num_live = contacts.valid.sum(dtype=jnp.int32)
         if tiled:
+            # No pre-compaction: the tiled path re-sorts rows into slabs
+            # itself (stable, dead rows last) and returns accumulators in
+            # the original contact order — compacting first would just add
+            # a redundant full-buffer permute at 100k+ scale.
             from phyx_tpu.broadphase import compute_aabbs
             lo, _ = compute_aabbs(bodies)
             xkeys = jnp.where(bodies.active, lo[:, 0], jnp.float32(jnp.inf))
             xorder = jnp.argsort(xkeys).astype(jnp.int32)
             (bodies, accum_n, accum_t, residual, tiled_ovf,
              joint_accum) = solver.solve_pallas_tiled(
-                bodies, compacted, xorder, cfg,
+                bodies, contacts, xorder, cfg,
                 joints=state.joints if j_cap else None,
                 joint_rows=joint_rows, joint_warm=joint_warm)
             pairs = pairs.replace(overflow=pairs.overflow + tiled_ovf)
         else:
+            # Compact live contacts to the front (stable, so the sweep
+            # order of valid rows is unchanged): the serial kernel then
+            # visits only live rows — SAT rejects ~30% of candidate slots
+            # in dense piles, and each dead slot would still cost a full
+            # sweep body.  Row gathers are row-serialized on this chip
+            # (~12 ns/row, BASELINE.md), so instead of permuting all 19
+            # Contacts fields we pack the 14 solver-read columns (+2
+            # bitcast int ids) into ONE (C, 16) matrix, gather it once,
+            # and un-permute the accumulators with one scatter (fenced:
+            # benches/micro_compaction.py, 2.16 -> 0.64 ms at 10k shapes).
+            order = jnp.argsort(jnp.logical_not(contacts.valid))
+            as_f32 = functools.partial(
+                jax.lax.bitcast_convert_type, new_dtype=jnp.float32)
+            pack = jnp.concatenate([
+                contacts.normal, contacts.r1, contacts.r2,
+                jnp.stack([
+                    contacts.mass_n, contacts.mass_t, contacts.friction,
+                    contacts.dst_v, contacts.dst_dv, contacts.c_nt,
+                    contacts.warm_n, contacts.warm_t,
+                    as_f32(contacts.b1), as_f32(contacts.b2)], axis=1),
+            ], axis=1)[order]
+            as_i32 = functools.partial(
+                jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
+            # Only the fields solve_pallas reads are re-pointed at the
+            # permuted pack; the rest (valid/fid/penetration/color) stay
+            # in original order and MUST NOT be read from ``compacted``.
+            compacted = contacts.replace(
+                normal=pack[:, 0:2], r1=pack[:, 2:4], r2=pack[:, 4:6],
+                mass_n=pack[:, 6], mass_t=pack[:, 7], friction=pack[:, 8],
+                dst_v=pack[:, 9], dst_dv=pack[:, 10], c_nt=pack[:, 11],
+                warm_n=pack[:, 12], warm_t=pack[:, 13],
+                b1=as_i32(pack[:, 14]), b2=as_i32(pack[:, 15]))
+            num_live = contacts.valid.sum(dtype=jnp.int32)
             (bodies, accum_n, accum_t, residual,
              joint_accum) = solver.solve_pallas(
                 bodies, compacted, num_live, cfg, streamed=streamed,
                 joints=state.joints if j_cap else None,
                 joint_rows=joint_rows, joint_warm=joint_warm)
-        inv = jnp.argsort(order)
-        accum_n = accum_n[inv]
-        accum_t = accum_t[inv]
+            back = jnp.zeros((order.shape[0], 2), jnp.float32).at[order].set(
+                jnp.stack([accum_n, accum_t], axis=1))
+            accum_n = back[:, 0]
+            accum_t = back[:, 1]
         if j_cap:
             joints_out = state.joints.replace(accum=joint_accum)
     else:
