@@ -68,18 +68,35 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
     def kern(num_ref,                     # (2,) i32 SMEM: [contacts, joints]
              b1_hbm, b2_hbm, con_hbm, warm_hbm,   # ANY (HBM)
              body_io_hbm,                 # (N*8,) f32 ANY (aliased input)
+             acc_init_hbm,                # (C*4,) f32 ANY (aliased input)
              body_hbm,                    # out (N*8,) f32 ANY == body_io_hbm
-             acc_hbm,                     # out ANY (C*4,) f32
+             acc_hbm,                     # out ANY (C*4,) f32 == acc_init_hbm
              res_ref,                     # out (1,) f32 SMEM
              body_ref, body_sem,          # SMEM body working set + its DMA sem
              conv_ref,                    # SMEM (1,) i32 early-exit flag
              b1_a, b2_a, con_a, warm_a, acc_a, sem_a, osem_a,
              b1_b, b2_b, con_b, warm_b, acc_b, sem_b, osem_b):
         del body_io_hbm  # aliased with body_hbm; all HBM access via body_hbm
+        del acc_init_hbm  # aliased with acc_hbm (pre-zeroed by the caller:
+        #                   blocks past the live region are never visited)
         num = num_ref[0]
         numj = num_ref[1]
         res_ref[0] = 0.0
         conv_ref[0] = 0
+
+        # Live block count: the pair budget is sized for worst-case scenes,
+        # so the tail of the contact region is routinely dead (cnt == 0) —
+        # at the 10k bench ~23 of 63 blocks.  Without joints nothing pins
+        # blocks to static positions, so every pass walks only the first
+        # ceil(num/BLK) blocks (>= 2 to preserve the DMA hazard argument).
+        # With joints the joint region sits at static block positions
+        # [c_blocks, n_blocks): keep the static walk.
+        if has_joints:
+            nb = n_blocks
+            total_d = total
+        else:
+            nb = jnp.clip((num + BLK - 1) // BLK, 2, n_blocks)
+            total_d = n_passes * nb
 
         # Body state: one whole-array DMA into SMEM (stays resident for the
         # entire solve), written back after the last pass.
@@ -418,20 +435,23 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
         # ---- orchestration: two global steps per loop iteration with
         # statically assigned buffer sets (A for even g, B for odd g) ----
 
-        def do_step(g, cur, nxt):
-            p = g // n_blocks
-            b = g % n_blocks
+        def do_step(p, b, has_next, cur, nxt):
+            # (p, b) are carried incrementally (no traced div/mod on the
+            # scalar core); has_next == "a global step follows this one".
+            next_b = jnp.where(b + 1 == nb, 0, b + 1)
+            prev_b = jnp.where(b == 0, nb - 1, b - 1)
+            not_first = (p > 0) | (b > 0)
 
             # Prefetch step g+1 into the other set.  Its previous acc
             # write-out (issued at step g-1) must land first: WAR on that
             # scratch, and it is the most recent write, so all older
             # writes — incl. last pass's write to block b+1 — are done.
-            @pl.when(g + 1 < total)
+            @pl.when(has_next)
             def _():
-                @pl.when(g >= 1)
+                @pl.when(not_first)
                 def _():
-                    acc_out_copy(nxt, (g - 1) % n_blocks).wait()
-                start_block(nxt, (g + 1) % n_blocks)
+                    acc_out_copy(nxt, prev_b).wait()
+                start_block(nxt, next_b)
 
             wait_block(cur, b)
 
@@ -516,34 +536,60 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
 
             if vel_tol > 0.0:
                 # end of a velocity pass: latch convergence
-                @pl.when((b == n_blocks - 1) & (p >= 1) & (p <= vel_iters)
+                @pl.when((b == nb - 1) & (p >= 1) & (p <= vel_iters)
                          & (res_ref[0] < vel_tol))
                 def _():
                     conv_ref[0] = 1
 
             acc_out_copy(cur, b).start()
 
+        def advance(p, b):
+            wrap = b + 1 == nb
+            return jnp.where(wrap, p + 1, p), jnp.where(wrap, 0, b + 1)
+
+        def more(p, b):
+            return (p < n_passes - 1) | (b < nb - 1)
+
         start_block(set_a, jnp.int32(0))
 
-        def g2step(h, _):
-            g = 2 * h
-            do_step(g, set_a, set_b)
+        def g2step(h, carry):
+            p, b = carry
+            do_step(p, b, more(p, b), set_a, set_b)
+            p1, b1 = advance(p, b)
 
-            @pl.when(g + 1 < total)
+            @pl.when(more(p, b))
             def _():
-                do_step(g + 1, set_b, set_a)
-            return 0
+                do_step(p1, b1, more(p1, b1), set_b, set_a)
+            return advance(p1, b1)
 
-        jax.lax.fori_loop(0, (total + 1) // 2, g2step, 0)
-        # Drain BOTH in-flight acc write-outs (steps total-2 and total-1);
-        # the one from total-2 was only ever waited by total's (nonexistent)
-        # prefetch.  total >= 2 is guaranteed by n_blocks >= 2.
-        last = total - 1
-        prev = total - 2
-        acc_out_copy(set_a if prev % 2 == 0 else set_b,
-                     jnp.int32(prev % n_blocks)).wait()
-        acc_out_copy(set_a if last % 2 == 0 else set_b,
-                     jnp.int32(last % n_blocks)).wait()
+        jax.lax.fori_loop(0, (total_d + 1) // 2, g2step,
+                          (jnp.int32(0), jnp.int32(0)))
+        # Drain BOTH in-flight acc write-outs (steps total_d-2 and
+        # total_d-1); the one from total_d-2 was only ever waited by
+        # total_d's (nonexistent) prefetch.  total_d >= 2 via nb >= 2.
+        # Step total_d-1 sits at block nb-1 of the last pass, total_d-2
+        # at block nb-2 (nb >= 2); buffer-set parity = step parity.
+        if has_joints:   # total_d static: parity known at trace time
+            acc_out_copy(set_a if (total_d - 2) % 2 == 0 else set_b,
+                         jnp.int32(nb - 2)).wait()
+            acc_out_copy(set_a if (total_d - 1) % 2 == 0 else set_b,
+                         jnp.int32(nb - 1)).wait()
+        else:            # dynamic parity: total_d = n_passes * nb
+            even_total = (total_d & 1) == 0
+
+            def drain(step_parity_odd, blk):
+                # step g is even -> buffer set A, odd -> set B
+                @pl.when(~step_parity_odd)
+                def _():
+                    acc_out_copy(set_a, blk).wait()
+
+                @pl.when(step_parity_odd)
+                def _():
+                    acc_out_copy(set_b, blk).wait()
+
+            # parity of total_d-2 == parity of total_d; total_d-1 opposite
+            drain(~even_total, nb - 2)
+            drain(even_total, nb - 1)
         # Flush the body working set back to its (aliased) HBM buffer.
         body_out_cp = pltpu.make_async_copy(body_ref, body_hbm, body_sem)
         body_out_cp.start()
@@ -603,6 +649,9 @@ def solve_contacts_streamed(
     nums = jnp.stack([num_contacts.astype(jnp.int32),
                       num_joints.astype(jnp.int32)])
 
+    # acc is aliased to a zeroed input so blocks past the dynamic live
+    # region (never visited by the kernel) read back as exact zeros.
+    acc_init = jnp.zeros((r_cap * 4,), jnp.float32)
     body_out, acc, res = pl.pallas_call(
         kern,
         out_shape=(
@@ -610,13 +659,14 @@ def solve_contacts_streamed(
             jax.ShapeDtypeStruct((r_cap * 4,), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
-        in_specs=[smem, anyspec, anyspec, anyspec, anyspec, anyspec],
+        in_specs=[smem, anyspec, anyspec, anyspec, anyspec, anyspec,
+                  anyspec],
         out_specs=(anyspec, anyspec, smem),
-        input_output_aliases={5: 0},   # body_flat HBM buffer reused as output
+        input_output_aliases={5: 0, 6: 1},   # body + acc buffers reused
         scratch_shapes=([pltpu.SMEM((n_cap * 8,), jnp.float32),
                          pltpu.SemaphoreType.DMA,
                          pltpu.SMEM((1,), jnp.int32)]
                         + bufset() + bufset()),
         interpret=_use_interpret(),
-    )(nums, b1, b2, con_flat, warm_flat, body_flat)
+    )(nums, b1, b2, con_flat, warm_flat, body_flat, acc_init)
     return body_out, acc, res
