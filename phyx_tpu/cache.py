@@ -92,10 +92,19 @@ def warm_start_from_cache(contacts: Contacts, pairs: Pairs,
     P = pairs.pi.shape[0]
     posc, hit = lex_join(cache.pi, cache.pj, pairs.pi, pairs.pj)
 
-    # cached per-pair data, per pair-slot
-    cfid = cache.fid[posc]                 # (P, 2)
-    cn = cache.normal_impulse[posc]        # (P, 2)
-    ct = cache.friction_impulse[posc]      # (P, 2)
+    # cached per-pair data, per pair-slot — ONE packed row gather (row
+    # gathers are row-serialized on TPU).  fid rides along VALUE-converted
+    # to f32 (exact for |fid| < 2^24), NOT bitcast: fid == -1 bitcasts to
+    # a NaN payload and TPU canonicalizes NaN bits in data movement
+    # (measured 2026-08-17: bitcast here silently killed warm starting on
+    # TPU while CPU tests stayed green).
+    tbl = jnp.concatenate([
+        cache.fid.astype(jnp.float32),
+        cache.normal_impulse, cache.friction_impulse], axis=1)   # (P, 6)
+    g = tbl[posc]
+    cfid = g[:, 0:2].astype(jnp.int32)                           # (P, 2)
+    cn = g[:, 2:4]                                               # (P, 2)
+    ct = g[:, 4:6]                                               # (P, 2)
 
     # expand to contact slots (2 per pair)
     fid = contacts.fid.reshape(P, 2)       # (P, 2) fresh feature ids

@@ -80,16 +80,37 @@ def _comp(v, k):
 
 def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
     """Batched SAT + clip over the pair buffer -> flat Contacts."""
+    contacts, _ = narrowphase_with_props(bodies, pairs, cfg)
+    return contacts
+
+
+def narrowphase_with_props(bodies: Bodies, pairs: Pairs, cfg: SimConfig):
+    """``narrowphase`` + the per-pair solver properties picked up in the
+    SAME row gather.
+
+    Row gathers are row-serialized on TPU (~12 ns/row, BASELINE.md), and
+    solver.prepare needs per-pair body properties (vel/angvel/inv masses/
+    friction/restitution) over exactly the same pair indices — so gather
+    ONE packed (N, 13) table per side here and hand prepare its 7-column
+    tail instead of paying two more full gather passes.  Returns
+    (Contacts, (props1, props2)) with props* = (P, 7):
+    [vel.x, vel.y, angvel, inv_mass, inv_inertia, friction, restitution]
+    at PAIR granularity (slot p covers contacts 2p, 2p+1)."""
     n = bodies.capacity
     i = jnp.minimum(pairs.pi, n - 1)     # clamp EMPTY slots; masked below
     j = jnp.minimum(pairs.pj, n - 1)
     pvalid = pairs.valid
 
-    # one packed geometry gather per side (serial-gather-free on TPU)
+    # one packed geometry+property gather per side
     geom = jnp.concatenate(
-        [bodies.pos, bodies.rot, bodies.half_extent], axis=1)   # (N, 6)
+        [bodies.pos, bodies.rot, bodies.half_extent,            # 0:6
+         bodies.vel, bodies.angvel[:, None],                    # 6:9
+         bodies.inv_mass[:, None], bodies.inv_inertia[:, None],  # 9:11
+         bodies.friction[:, None], bodies.restitution[:, None],  # 11:13
+         ], axis=1)                                             # (N, 13)
     ga = geom[i]
     gb = geom[j]
+    props = (ga[:, 6:13], gb[:, 6:13])
     pa, ra, ha = ga[:, 0:2], ga[:, 2:4], ga[:, 4:6]
     pb, rb, hb = gb[:, 0:2], gb[:, 2:4], gb[:, 4:6]
 
@@ -226,4 +247,4 @@ def narrowphase(bodies: Bodies, pairs: Pairs, cfg: SimConfig) -> Contacts:
         warm_n=zf, warm_t=zf,
         mass_n=zf, mass_t=zf, friction=zf, dst_v=zf, dst_dv=zf, c_nt=zf,
         color=jnp.zeros((C,), jnp.int32),
-    )
+    ), props

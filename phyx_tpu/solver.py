@@ -32,33 +32,45 @@ from phyx_tpu.narrowphase import Contacts
 from phyx_tpu.types import Bodies
 
 
-def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig) -> Contacts:
-    """Batched PrepareJoints (SURVEY.md §3.4)."""
+def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig,
+            pair_props=None) -> Contacts:
+    """Batched PrepareJoints (SURVEY.md §3.4).
+
+    ``pair_props`` — optional (props1, props2) from
+    narrowphase.narrowphase_with_props, each (C/2, 7) at pair granularity
+    with columns [vel.x, vel.y, angvel, inv_mass, inv_inertia, friction,
+    restitution]: the same rows this function would otherwise gather
+    itself, picked up for free inside narrowphase's geometry gather."""
     b1, b2 = contacts.b1, contacts.b2
     n = contacts.normal
     t = m2.perp(n)
     r1, r2 = contacts.r1, contacts.r2
-    # one packed property gather per side (serial-gather-free on TPU)
-    props = jnp.concatenate([
-        bodies.vel,                      # 0:2
-        bodies.angvel[:, None],          # 2
-        bodies.inv_mass[:, None],        # 3
-        bodies.inv_inertia[:, None],     # 4
-        bodies.friction[:, None],        # 5
-        bodies.restitution[:, None],     # 6
-        jnp.zeros_like(bodies.angvel[:, None]),
-    ], axis=1)                           # (N, 8)
-    # XLA's native row gather measured faster than a serial Pallas scalar
-    # gather on v5e (fenced, ~8 ms/step at 10k) — keep it plain.  Row
-    # gathers are row-serialized on this chip, so gather at PAIR
-    # granularity (both points of pair p — slots 2p, 2p+1 — share the
-    # same bodies by construction, narrowphase.Contacts docstring) and
-    # expand x2 with a free broadcast-reshape: half the gather rows.
-    def pair_gather(idx):
-        rows = props[idx[::2]]                     # (C/2, 8)
-        return jnp.repeat(rows, 2, axis=0)         # (C, 8) no gather
-    p1 = pair_gather(b1)
-    p2 = pair_gather(b2)
+    if pair_props is not None:
+        # expand pair rows to the 2 contact slots: broadcast, no gather
+        p1 = jnp.repeat(pair_props[0], 2, axis=0)
+        p2 = jnp.repeat(pair_props[1], 2, axis=0)
+    else:
+        # one packed property gather per side (serial-gather-free on TPU)
+        props = jnp.concatenate([
+            bodies.vel,                      # 0:2
+            bodies.angvel[:, None],          # 2
+            bodies.inv_mass[:, None],        # 3
+            bodies.inv_inertia[:, None],     # 4
+            bodies.friction[:, None],        # 5
+            bodies.restitution[:, None],     # 6
+        ], axis=1)                           # (N, 7)
+        # XLA's native row gather measured faster than a serial Pallas
+        # scalar gather on v5e (fenced, ~8 ms/step at 10k) — keep it
+        # plain.  Row gathers are row-serialized on this chip, so gather
+        # at PAIR granularity (both points of pair p — slots 2p, 2p+1 —
+        # share the same bodies by construction, narrowphase.Contacts
+        # docstring) and expand x2 with a free broadcast-reshape: half
+        # the gather rows.
+        def pair_gather(idx):
+            rows = props[idx[::2]]                 # (C/2, 7)
+            return jnp.repeat(rows, 2, axis=0)     # (C, 7) no gather
+        p1 = pair_gather(b1)
+        p2 = pair_gather(b2)
     im1, im2 = p1[:, 3], p2[:, 3]
     ii1, ii2 = p1[:, 4], p2[:, 4]
 

@@ -33,7 +33,7 @@ from phyx_tpu.broadphase import broadphase
 from phyx_tpu.cache import build_cache, warm_start_from_cache
 from phyx_tpu.coloring import color_contacts
 from phyx_tpu.config import SimConfig
-from phyx_tpu.narrowphase import narrowphase
+from phyx_tpu.narrowphase import narrowphase_with_props
 from phyx_tpu.types import Bodies, SolverStats, State
 
 
@@ -87,10 +87,11 @@ def step(state: State, cfg: SimConfig) -> State:
     pairs = broadphase(bodies, cfg)
     if state.joints.capacity:
         pairs = exclude_joint_pairs(pairs, state.joints)
-    contacts = narrowphase(bodies, pairs, cfg)
+    # one gather serves both SAT geometry and solver-prepare properties
+    contacts, pair_props = narrowphase_with_props(bodies, pairs, cfg)
     contacts = warm_start_from_cache(contacts, pairs, state.cache)
 
-    contacts = solver.prepare(bodies, contacts, cfg)
+    contacts = solver.prepare(bodies, contacts, cfg, pair_props=pair_props)
 
     # Backend selection (static, by capacity): all-SMEM fused kernel when
     # everything fits; HBM-streamed kernel when only the body state fits;
@@ -155,18 +156,20 @@ def step(state: State, cfg: SimConfig) -> State:
             # and un-permute the accumulators with one scatter (fenced:
             # benches/micro_compaction.py, 2.16 -> 0.64 ms at 10k shapes).
             order = jnp.argsort(jnp.logical_not(contacts.valid))
-            as_f32 = functools.partial(
-                jax.lax.bitcast_convert_type, new_dtype=jnp.float32)
+            # Body ids ride in the f32 pack VALUE-converted (exact for
+            # ids < 2^24), NOT bitcast: TPU canonicalizes odd f32 bit
+            # patterns (NaN payloads, possibly denormals) in data
+            # movement — a bitcast int survives only by luck (the cache
+            # join's bitcast fid measurably lost its -1 sentinels).
             pack = jnp.concatenate([
                 contacts.normal, contacts.r1, contacts.r2,
                 jnp.stack([
                     contacts.mass_n, contacts.mass_t, contacts.friction,
                     contacts.dst_v, contacts.dst_dv, contacts.c_nt,
                     contacts.warm_n, contacts.warm_t,
-                    as_f32(contacts.b1), as_f32(contacts.b2)], axis=1),
+                    contacts.b1.astype(jnp.float32),
+                    contacts.b2.astype(jnp.float32)], axis=1),
             ], axis=1)[order]
-            as_i32 = functools.partial(
-                jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
             # Only the fields solve_pallas reads are re-pointed at the
             # permuted pack; the rest (valid/fid/penetration/color) stay
             # in original order and MUST NOT be read from ``compacted``.
@@ -175,7 +178,8 @@ def step(state: State, cfg: SimConfig) -> State:
                 mass_n=pack[:, 6], mass_t=pack[:, 7], friction=pack[:, 8],
                 dst_v=pack[:, 9], dst_dv=pack[:, 10], c_nt=pack[:, 11],
                 warm_n=pack[:, 12], warm_t=pack[:, 13],
-                b1=as_i32(pack[:, 14]), b2=as_i32(pack[:, 15]))
+                b1=pack[:, 14].astype(jnp.int32),
+                b2=pack[:, 15].astype(jnp.int32))
             num_live = contacts.valid.sum(dtype=jnp.int32)
             (bodies, accum_n, accum_t, residual,
              joint_accum) = solver.solve_pallas(
