@@ -42,9 +42,18 @@ at a cut is bounded by the difference of the two shards' computed
 impulses for the shared contact (same prepared rows, same warm start;
 they differ only through ordering of the surrounding sweep).
 
-Requirements / limits (v1):
-* contacts only — user joints are rejected (route jointed structures
-  through the mega-scene path instead);
+User joints (v2): joint-CONNECTED COMPONENTS are dealt to shards as
+indivisible units (union-find over dynamic endpoints at shard time), so
+no joint ever spans a cut — every joint solves with the exact local
+Gauss-Seidel semantics; only contacts use the additive-Schwarz halo.
+Joints anchored to statics are free (statics are replicated).  The
+per-shard slot budget gets ``largest_component - 1`` slack, which makes
+the in-x-order first-fit deal always succeed while keeping the balance
+within 2x; a component larger than one shard's FAIR SHARE
+(``ceil(dynamics / D)``) is rejected (route such structures through the
+mega-scene path).
+
+Requirements / limits:
 * interactions must not span more than one cut (halo reaches one
   neighbor); band width >> interaction diameter;
 * more than ``H`` bodies interacting across one cut overflows the halo —
@@ -83,6 +92,9 @@ class SpatialMeta:
     static_ids: np.ndarray   # (S,) global body ids of replicated statics
     owned_ids: np.ndarray    # (D, M) global body ids, -1 = padding
     capacity: int            # original global body capacity
+    # user joints (v2): global joint index per shard-local joint slot
+    owned_joint_ids: Optional[np.ndarray] = None   # (D, Jloc), -1 = pad
+    joint_capacity: int = 0  # original global joint capacity
 
 
 def suggest_halo(state: State, n_shards: int, margin: float = 2.0) -> int:
@@ -112,12 +124,11 @@ def shard_spatial(state: State, cfg: SimConfig, n_shards: int,
     carries a leading shard axis of size D, and ``local_cfg`` is the
     per-shard SimConfig (smaller capacities) to pass to
     ``spatial_rollout``.  The contact caches start empty; warm starts
-    rebuild within a frame."""
-    if state.joints.capacity and int(np.asarray(
-            (state.joints.kind != 0).sum())):
-        raise NotImplementedError(
-            "spatial sharding v1 supports contacts only (no user joints); "
-            "use the mega-scene path for jointed structures")
+    rebuild within a frame.
+
+    User joints: joint-connected components are dealt as indivisible
+    units so every joint is shard-local (module docstring); a component
+    wider than one shard's slot budget raises ``ValueError``."""
     D, H = int(n_shards), int(halo)
     b = state.bodies
     arrs = {f.name: np.asarray(getattr(b, f.name))
@@ -129,11 +140,56 @@ def shard_spatial(state: State, cfg: SimConfig, n_shards: int,
     dyn_ids = np.nonzero(dyn_mask)[0]
     dyn_ids = dyn_ids[np.argsort(arrs["pos"][dyn_ids, 0], kind="stable")]
     S = int(static_ids.size)
-    M = max(8, -(-int(dyn_ids.size) // D))
+
+    # --- user joints: union-find over dynamic endpoints (host-side) ---
+    jarrs = None
+    live_j = np.zeros((0,), np.int64)
+    if state.joints.capacity:
+        jarrs = {f.name: np.asarray(getattr(state.joints, f.name))
+                 for f in dataclasses.fields(state.joints)}
+        live_j = np.nonzero(jarrs["kind"] != 0)[0]
+    parent = np.arange(b.capacity, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:      # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for j in live_j:
+        e1, e2 = int(jarrs["b1"][j]), int(jarrs["b2"][j])
+        if dyn_mask[e1] and dyn_mask[e2]:
+            parent[find(e1)] = find(e2)
+
+    # units (components + singletons) in mean-x order, dealt first-fit
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for gid in dyn_ids:               # x-sorted: members stay x-sorted
+        groups[find(gid)].append(int(gid))
+    units = sorted(groups.values(),
+                   key=lambda ids: float(arrs["pos"][ids, 0].mean()))
+    maxu = max((len(u) for u in units), default=1)
+    base_m = max(8, -(-int(dyn_ids.size) // D))
+    if maxu > base_m:
+        raise ValueError(
+            f"joint-connected component of {maxu} bodies exceeds one "
+            f"shard's fair share ({base_m} slots at {D} shards); use "
+            f"fewer shards or the mega-scene path")
+    # first-fit in x order always succeeds with maxu-1 slack per shard
+    M = base_m + (maxu - 1)
     owned = np.full((D, M), -1, np.int64)
-    for d in range(D):
-        chunk = dyn_ids[d * M:(d + 1) * M]
-        owned[d, :chunk.size] = chunk
+    body_shard = {}
+    d, fill = 0, 0
+    for u in units:
+        if fill + len(u) > M:
+            d, fill = d + 1, 0
+        assert d < D, "first-fit deal overflowed (cannot happen: slack)"
+        owned[d, fill:fill + len(u)] = u
+        for gid in u:
+            body_shard[gid] = d
+        fill += len(u)
     dims = SpatialDims(D=D, S=S, H=H, M=M)
     L = S + 2 * H + M
     park = np.asarray(_parked(L))
@@ -157,13 +213,58 @@ def shard_spatial(state: State, cfg: SimConfig, n_shards: int,
                        for k, v in arrs.items()})
     if max_pairs_per_shard is None:
         max_pairs_per_shard = max(256, -(-cfg.max_pairs // D))
-    local_cfg = dataclasses.replace(
-        cfg, max_bodies=L, max_pairs=int(max_pairs_per_shard), max_joints=0)
+
+    # --- per-shard joint tables: both endpoints resolve locally ---
     from phyx_tpu.joints import Joints
-    one = State(bodies=bodies,  # leading D axis on bodies only so far
-                joints=jax.tree.map(
-                    lambda x: jnp.broadcast_to(x, (D,) + x.shape),
-                    Joints.empty(0)),
+    owned_joints = None
+    jloc = 0
+    if live_j.size:
+        static_local = {int(g): i for i, g in enumerate(static_ids)}
+        local_slot = [dict(static_local) for _ in range(D)]
+        for d in range(D):
+            for s_, gid in enumerate(owned[d]):
+                if gid >= 0:
+                    local_slot[d][int(gid)] = S + H + s_
+        per_shard = [[] for _ in range(D)]
+        for j in live_j:
+            e1, e2 = int(jarrs["b1"][j]), int(jarrs["b2"][j])
+            d1 = body_shard.get(e1)
+            d2 = body_shard.get(e2)
+            if d1 is not None and d2 is not None and d1 != d2:
+                raise AssertionError(
+                    "joint endpoints dealt to different shards "
+                    "(cannot happen: union-find)")
+            per_shard[d1 if d1 is not None else
+                      (d2 if d2 is not None else 0)].append(int(j))
+        jloc = max(8, max(len(p) for p in per_shard))
+        owned_joints = np.full((D, jloc), -1, np.int64)
+        for d in range(D):
+            owned_joints[d, :len(per_shard[d])] = per_shard[d]
+
+        def shard_joint_leaf(name: str, x: np.ndarray) -> np.ndarray:
+            out = np.zeros((D, jloc) + x.shape[1:], x.dtype)
+            for d in range(D):
+                for slot, j in enumerate(owned_joints[d]):
+                    if j < 0:
+                        continue
+                    v = x[j]
+                    if name in ("b1", "b2"):
+                        v = local_slot[d][int(v)]
+                    out[d, slot] = v
+            return out
+
+        joints = Joints(**{f.name: jnp.asarray(
+            shard_joint_leaf(f.name, jarrs[f.name]))
+            for f in dataclasses.fields(state.joints)})
+    else:
+        joints = jax.tree.map(lambda x: jnp.broadcast_to(x, (D,) + x.shape),
+                              Joints.empty(0))
+
+    local_cfg = dataclasses.replace(
+        cfg, max_bodies=L, max_pairs=int(max_pairs_per_shard),
+        max_joints=jloc)
+    one = State(bodies=bodies,  # leading D axis on every leaf
+                joints=joints,
                 cache=jax.tree.map(
                     lambda x: jnp.broadcast_to(x, (D,) + x.shape),
                     ContactCache.empty(int(max_pairs_per_shard))),
@@ -171,7 +272,8 @@ def shard_spatial(state: State, cfg: SimConfig, n_shards: int,
                     lambda x: jnp.broadcast_to(x, (D,) + x.shape),
                     SolverStats.zeros()))
     meta = SpatialMeta(dims=dims, static_ids=static_ids, owned_ids=owned,
-                       capacity=b.capacity)
+                       capacity=b.capacity, owned_joint_ids=owned_joints,
+                       joint_capacity=state.joints.capacity)
     return one, local_cfg, meta
 
 
@@ -286,9 +388,19 @@ def unshard(sstate: State, meta: SpatialMeta, template: State) -> State:
             out[name][ids[ok]] = sh[d, S + H:S + H + M][ok]
     stats = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
                          sstate.stats)
+    joints = template.joints
+    if (meta.owned_joint_ids is not None and meta.joint_capacity
+            and joints.capacity):
+        acc = np.asarray(template.joints.accum).copy()
+        sh = np.asarray(sstate.joints.accum)          # (D, Jloc, 2)
+        for d in range(D):
+            ids = meta.owned_joint_ids[d]
+            ok = ids >= 0
+            acc[ids[ok]] = sh[d][ok]
+        joints = template.joints.replace(accum=jnp.asarray(acc))
     return State(bodies=Bodies(**{k: jnp.asarray(v)
                                   for k, v in out.items()}),
-                 joints=template.joints, cache=template.cache, stats=stats)
+                 joints=joints, cache=template.cache, stats=stats)
 
 
 def rebalance(sstate: State, meta: SpatialMeta, template: State,

@@ -156,18 +156,87 @@ def test_pallas_backend_under_shard_map():
     assert int(sst.stats.pair_overflow[0]) == 0
 
 
-def test_suggest_halo_and_joint_rejection():
+def test_suggest_halo():
     cfg = base_cfg()
     st = stacks_scene(cfg)
     h = suggest_halo(st, 4)
     assert h >= 8 and h % 8 == 0
 
-    jcfg = dataclasses.replace(cfg, max_joints=4, solver_backend="pallas",
-                               max_pairs=2048)
-    sb = SceneBuilder(jcfg)
-    a = sb.add_box((0.0, 5.0), (0.5, 0.5), static=True)
-    b = sb.add_box((1.0, 5.0), (0.5, 0.5))
-    sb.add_revolute_joint(a, b, (0.5, 5.0))
-    jst = sb.build()
-    with pytest.raises(NotImplementedError):
-        shard_spatial(jst, jcfg, 4, 8)
+
+# ---- user joints (v2): components dealt whole, joints shard-local ----
+
+def chains_scene(cfg, n_chains=4, links=3, spacing=12.0):
+    """n_chains short pendulum chains hanging from static anchors spread
+    along x, plus a shared ground."""
+    sb = SceneBuilder(cfg)
+    sb.add_box((0.0, -1.0), (n_chains * spacing, 1.0), static=True)
+    x0 = -(n_chains - 1) * spacing / 2.0
+    for c in range(n_chains):
+        x = x0 + c * spacing
+        prev = sb.add_box((x, 8.0), (0.4, 0.4), static=True)
+        for k in range(1, links + 1):
+            cur = sb.add_box((x + 0.9 * k, 8.0), (0.4, 0.4))
+            sb.add_revolute_joint(prev, cur, (x + 0.9 * k - 0.45, 8.0))
+            prev = cur
+    return sb.build()
+
+
+def jcfg(**kw):
+    kw.setdefault("max_joints", 32)
+    kw.setdefault("solver_backend", "pallas")
+    return base_cfg(**kw)
+
+
+def test_jointed_components_stay_whole():
+    cfg = jcfg()
+    st = chains_scene(cfg)
+    sst, lcfg, meta = shard_spatial(st, cfg, n_shards=4, halo=8)
+    assert lcfg.max_joints > 0
+    # every live joint's dynamic endpoints landed on ONE shard
+    kind = np.asarray(st.joints.kind)
+    b1 = np.asarray(st.joints.b1)
+    b2 = np.asarray(st.joints.b2)
+    dyn = np.asarray(st.bodies.inv_mass) > 0.0
+    shard_of = {}
+    for d in range(meta.dims.D):
+        for gid in meta.owned_ids[d]:
+            if gid >= 0:
+                shard_of[int(gid)] = d
+    for j in np.nonzero(kind != 0)[0]:
+        e1, e2 = int(b1[j]), int(b2[j])
+        if dyn[e1] and dyn[e2]:
+            assert shard_of[e1] == shard_of[e2]
+    # and every joint slot appears exactly once across shards
+    lives = meta.owned_joint_ids[meta.owned_joint_ids >= 0]
+    assert sorted(lives.tolist()) == np.nonzero(kind != 0)[0].tolist()
+
+
+def test_jointed_chains_match_single_device():
+    cfg = jcfg()
+    st = chains_scene(cfg)
+    solo = rollout(st, cfg, 25)
+
+    sst, lcfg, meta = shard_spatial(st, cfg, n_shards=4, halo=8)
+    sst = spatial_rollout(sst, lcfg, mesh(4), meta, 25)
+    back = unshard(sst, meta, st)
+
+    act = np.asarray(st.bodies.active)
+    np.testing.assert_allclose(np.asarray(back.bodies.pos)[act],
+                               np.asarray(solo.bodies.pos)[act], atol=5e-2)
+    # joint warm-start impulses survive the unshard round-trip
+    ksel = np.asarray(st.joints.kind) != 0
+    assert np.abs(np.asarray(back.joints.accum)[ksel]).sum() > 0.0
+    assert not np.isnan(np.asarray(back.bodies.pos)).any()
+
+
+def test_component_exceeding_shard_budget_raises():
+    cfg = jcfg(max_joints=64)
+    sb = SceneBuilder(cfg)
+    prev = sb.add_box((0.0, 20.0), (0.4, 0.4), static=True)
+    for k in range(1, 40):                    # one 39-body chain
+        cur = sb.add_box((0.9 * k, 20.0), (0.4, 0.4))
+        sb.add_revolute_joint(prev, cur, (0.9 * k - 0.45, 20.0))
+        prev = cur
+    st = sb.build()
+    with pytest.raises(ValueError, match="component"):
+        shard_spatial(st, cfg, n_shards=8, halo=8)
