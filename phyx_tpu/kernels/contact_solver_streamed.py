@@ -143,6 +143,20 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
 
         # ---- per-contact sweeps (k = slot inside SMEM block) ----
 
+        def unroll2(visit, cnt):
+            """Run visit(0..cnt): two visits per hardware-loop iteration
+            (halves the increment/compare/branch overhead; the serial
+            Gauss-Seidel order is unchanged)."""
+            def two(h, _):
+                visit(2 * h, 0)
+                visit(2 * h + 1, 0)
+                return 0
+            jax.lax.fori_loop(0, cnt // 2, two, 0)
+
+            @pl.when(cnt % 2 == 1)
+            def _():
+                visit(cnt - 1, 0)
+
         def warm_sweep(bufs, cnt):
             b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
 
@@ -175,7 +189,7 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 acc_s[k * 4 + 2] = 0.0
                 acc_s[k * 4 + 3] = 0.0
                 return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+            unroll2(one, cnt)
             # dead tail: only the accumulators need initializing (their
             # rows are exact no-ops in every later pass)
             jax.lax.fori_loop(cnt, BLK, _acc_zero(acc_s), 0)
@@ -253,7 +267,7 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                         res_ref[0] = jnp.maximum(
                             res_ref[0], jnp.maximum(res, jnp.abs(dt)))
                     return 0
-                jax.lax.fori_loop(0, cnt, one, 0)
+                unroll2(one, cnt)
             return vel_sweep
 
         vel_sweep = make_vel_sweep(True)
@@ -301,7 +315,7 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 body_ref[j + 6] = py2 + iy * im2
                 body_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
                 return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+            unroll2(one, cnt)
 
         # ---- user-joint sweeps (row encodings: joints.py docstring;
         # math mirrors kernels/contact_solver.py joint_*_one) ----

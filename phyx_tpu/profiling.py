@@ -39,7 +39,7 @@ from phyx_tpu import solver
 from phyx_tpu.broadphase import broadphase
 from phyx_tpu.cache import build_cache, warm_start_from_cache
 from phyx_tpu.config import SimConfig
-from phyx_tpu.narrowphase import narrowphase
+from phyx_tpu.narrowphase import narrowphase_with_props
 from phyx_tpu.step import integrate_velocities, step
 from phyx_tpu.types import State
 
@@ -57,13 +57,15 @@ def _prefix_step(st: State, k, depth: int, cfg: SimConfig) -> State:
         pairs = broadphase(bodies, cfg)
         fb += (pairs.num % 3).astype(jnp.float32) * 1e-9
     if depth >= 2:
-        contacts = narrowphase(bodies, pairs, cfg)
+        contacts, pair_props = narrowphase_with_props(bodies, pairs, cfg)
         fb += jnp.sum(contacts.penetration) * 1e-12
+        fb += jnp.sum(pair_props[0][:, 3]) * 1e-12   # keep the props live
     if depth >= 3:
         contacts = warm_start_from_cache(contacts, pairs, st.cache)
         fb += jnp.sum(contacts.warm_n) * 1e-12
     if depth >= 4:
-        contacts = solver.prepare(bodies, contacts, cfg)
+        contacts = solver.prepare(bodies, contacts, cfg,
+                                  pair_props=pair_props)
         fb += jnp.sum(contacts.mass_n) * 1e-12
     if depth >= 5:
         if cfg.solver_backend == "pallas":
