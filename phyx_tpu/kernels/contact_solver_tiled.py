@@ -117,6 +117,20 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
 
         # --- per-contact sweeps; body indices are window-local ---
 
+        def unroll2(visit, cnt):
+            """Two visits per hardware-loop iteration (halves the loop
+            overhead; measured +7% on the streamed kernel at 10k).
+            Gauss-Seidel order unchanged."""
+            def two(h, _):
+                visit(2 * h, 0)
+                visit(2 * h + 1, 0)
+                return 0
+            jax.lax.fori_loop(0, cnt // 2, two, 0)
+
+            @pl.when(cnt % 2 == 1)
+            def _():
+                visit(cnt - 1, 0)
+
         def warm_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
 
@@ -149,7 +163,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 accr[k * 4 + 2] = 0.0
                 accr[k * 4 + 3] = 0.0
                 return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+            unroll2(one, cnt)
             # dead tail: only the accumulators need initializing
             jax.lax.fori_loop(cnt, BLK, _acc_zero(accr), 0)
 
@@ -223,7 +237,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                         res_ref[0] = jnp.maximum(
                             res_ref[0], jnp.maximum(res, jnp.abs(dt)))
                     return 0
-                jax.lax.fori_loop(0, cnt, one, 0)
+                unroll2(one, cnt)
 
             return vel_sweep
 
@@ -272,7 +286,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 win_ref[j + 6] = py2 + iy * im2
                 win_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
                 return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+            unroll2(one, cnt)
 
         # --- user-joint sweeps (row encodings: joints.py; math mirrors
         # the streamed kernel's joint sweeps, window-local indices) ---
