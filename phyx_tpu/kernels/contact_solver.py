@@ -63,16 +63,27 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
         conv_ref[0] = 0
 
         # -- copy body state into the writable SMEM output --
-        def cpy(i, _):
-            body_ref[i] = body_in_ref[i]
+        # (input_output_aliases does NOT work here: for SMEM-blockspec
+        # operands it only donates the backing HBM buffer — the SMEM
+        # output scratch arrives UNINITIALIZED on real TPU.  Measured
+        # 2026-08-17: aliasing away this loop exploded the pile while CPU
+        # interpret tests stayed green.  8 elements per loop iteration;
+        # n_cap*8 is always a multiple of 8.)
+        def cpy8(h, _):
+            i = 8 * h
+            for o in range(8):
+                body_ref[i + o] = body_in_ref[i + o]
             return 0
-        jax.lax.fori_loop(0, n_cap * 8, cpy, 0)
+        jax.lax.fori_loop(0, n_cap, cpy8, 0)
 
         # -- init accumulators (all slots, incl. beyond num) --
-        def ini(k, _):
-            acc_ref[k] = 0.0
+        def ini4(k, _):
+            acc_ref[k * 4] = 0.0
+            acc_ref[k * 4 + 1] = 0.0
+            acc_ref[k * 4 + 2] = 0.0
+            acc_ref[k * 4 + 3] = 0.0
             return 0
-        jax.lax.fori_loop(0, (c_cap + j_cap) * 4, ini, 0)
+        jax.lax.fori_loop(0, c_cap + j_cap, ini4, 0)
 
         # ---- user-joint row sweeps (slots offset by c_cap) ----
 
@@ -196,18 +207,16 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
             return 0
 
         def unroll2(visit, cnt):
-            """Four visits per hardware-loop iteration (cuts the loop
-            overhead; 2x measured +7%, 4x a further +5% on the streamed
+            """Eight visits per hardware-loop iteration (cuts the loop
+            overhead; 2x/4x/8x measured +7%/+5%/+2% on the streamed
             kernel at 10k).  Gauss-Seidel order unchanged."""
-            def four(h, _):
-                k = 4 * h
-                visit(k, 0)
-                visit(k + 1, 0)
-                visit(k + 2, 0)
-                visit(k + 3, 0)
+            def eight(h, _):
+                k = 8 * h
+                for o in range(8):
+                    visit(k + o, 0)
                 return 0
-            jax.lax.fori_loop(0, cnt // 4, four, 0)
-            jax.lax.fori_loop(4 * (cnt // 4), cnt,
+            jax.lax.fori_loop(0, cnt // 8, eight, 0)
+            jax.lax.fori_loop(8 * (cnt // 8), cnt,
                               lambda k, _: visit(k, 0), 0)
 
         # -- warm start: apply cached impulses (SURVEY.md §3.2) --
