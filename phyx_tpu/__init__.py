@@ -30,6 +30,7 @@ Architecture (SURVEY.md §7):
 
 from phyx_tpu.config import SimConfig
 from phyx_tpu.joints import Joints
+from phyx_tpu.tune import resize, tune_config
 from phyx_tpu.types import Bodies, ContactCache, State, SolverStats
 from phyx_tpu.world import SceneBuilder, World
 
@@ -49,4 +50,6 @@ __all__ = [
     "SolverStats",
     "SceneBuilder",
     "World",
+    "tune_config",
+    "resize",
 ]

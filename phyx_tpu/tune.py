@@ -1,0 +1,117 @@
+"""Capacity/window auto-tuning from scene statistics.
+
+SURVEY.md §7 hard part #1 asks for budget sizing policies instead of
+hand-picked constants.  The primitives exist (`broadphase.suggest_sap_window`,
+`parallel.spatial.suggest_halo`, the measured pairs-per-box policy in
+bench.py); this module packages them into one user-facing call:
+
+    cfg2 = tune_config(state, cfg)          # measure state, resize budgets
+    if cfg2 != cfg:
+        state = resize(state, cfg2)         # re-capacity the pair cache
+
+All measurement is host-side numpy on the CURRENT state — run it on a
+representative (settled / densest) state, not at t=0: neighborhoods grow
+as scenes compact (measured at 100k: a wedge that fit window 192 at frame
+300 needed ~818 by frame 450 — BASELINE.md config D).  Re-tune between
+rollout chunks if `stats.pair_overflow` fires (or run under
+`debug.checked_rollout`, which turns overflow into a loud error).
+
+Capacity changes alter jit shapes: every distinct output config compiles
+its own step program (1-4 min on this stack, then cached).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from phyx_tpu.broadphase import suggest_sap_window
+from phyx_tpu.config import SimConfig
+from phyx_tpu.types import State
+
+
+def suggest_pair_budget(state: State, margin: float = 1.6) -> int:
+    """Pair-slot budget from the CURRENT live pair count, with headroom.
+
+    The measured policy (BASELINE.md): settled piles hold ~2.8 pairs/box
+    and 3.2x/box is safe, while avalanche wedges compact to ~5.6 —
+    measuring the actual scene beats guessing the scene class.  Returns
+    ``live_pairs * margin`` rounded UP to a 512 multiple (so contact
+    slots 2*max_pairs hit the streamed kernel's 1024-slot DMA tiles),
+    with a floor keyed to the active body count (3.2/box) for states
+    measured before any contacts exist."""
+    live = int(np.asarray(state.stats.num_pairs))
+    act = int(np.asarray(state.bodies.active).sum())
+    floor = int(act * 3.2)
+    want = max(int(live * margin), floor, 512)
+    return -(-want // 512) * 512
+
+
+def tune_config(state: State, cfg: SimConfig, margin: float = 1.5,
+                pair_margin: float = 1.6) -> SimConfig:
+    """Resize the data-dependent budgets of ``cfg`` for ``state``.
+
+    Adjusts (from host-side measurement of the current state):
+      * ``sap_window``  — forward x-neighbor span percentile * margin
+        (`broadphase.suggest_sap_window`), multiple of 8, >= 16;
+      * ``sap_hits``    — per-body live-pair p99.9 * margin, in [8, 64];
+      * ``max_pairs``   — `suggest_pair_budget` (never shrinks below the
+        current live pair count * margin).
+
+    Capacities that encode scene topology (max_bodies, max_joints) and
+    solver semantics (iteration counts, tolerances) are never touched.
+    Returns a new frozen SimConfig; == cfg when nothing needs resizing.
+    """
+    window = int(suggest_sap_window(state.bodies, margin=margin))
+    window = max(16, -(-window // 8) * 8)
+
+    # per-body forward-hit distribution: how many of a body's live pairs
+    # name it as the LOWER id (the sweep emits forward hits only)
+    from phyx_tpu.types import ContactCache
+    hits = 8
+    pi = np.asarray(state.cache.pi)
+    live = pi != ContactCache.EMPTY
+    if live.any():
+        counts = np.bincount(pi[live], minlength=state.bodies.capacity)
+        hits = int(np.percentile(counts[counts > 0], 99.9) * margin)
+    hits = int(min(64, max(8, hits)))
+
+    return dataclasses.replace(
+        cfg,
+        sap_window=window,
+        sap_hits=hits,
+        max_pairs=suggest_pair_budget(state, pair_margin),
+    )
+
+
+def resize(state: State, cfg: SimConfig) -> State:
+    """Re-capacity ``state``'s pair cache to ``cfg.max_pairs``.
+
+    Only the contact cache depends on the pair budget (bodies and joints
+    are untouched).  The cache is lex-sorted with EMPTY slots last, so
+    growing pads with EMPTY and shrinking truncates dead slots; live
+    entries are only lost if the new budget is below the live pair count
+    (`tune_config` never suggests that).  Warm-start impulses carry over.
+    """
+    import jax.numpy as jnp
+
+    from phyx_tpu.types import ContactCache
+
+    P = cfg.max_pairs
+    c = state.cache
+
+    def fit(x, fill):
+        if x.shape[0] >= P:
+            return x[:P]
+        pad = jnp.full((P - x.shape[0],) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad])
+
+    cache = ContactCache(
+        pi=fit(c.pi, ContactCache.EMPTY),
+        pj=fit(c.pj, ContactCache.EMPTY),
+        fid=fit(c.fid, -1),
+        normal_impulse=fit(c.normal_impulse, 0.0),
+        friction_impulse=fit(c.friction_impulse, 0.0),
+    )
+    return state.replace(cache=cache)

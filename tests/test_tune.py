@@ -1,0 +1,65 @@
+"""Capacity/window auto-tuning (phyx_tpu/tune.py)."""
+
+import numpy as np
+
+from phyx_tpu import scenes
+from phyx_tpu.config import SimConfig
+from phyx_tpu.step import rollout, step
+from phyx_tpu.tune import resize, suggest_pair_budget, tune_config
+
+
+def settled_pile(cfg, n=200, frames=60):
+    st = scenes.pile(cfg, n, seed=0).build()
+    return rollout(st, cfg, frames)
+
+
+def test_tune_config_measures_the_state():
+    cfg = SimConfig(max_bodies=256, max_pairs=4096, broadphase="sap_grid",
+                    sap_window=192, sap_hits=8)
+    st = settled_pile(cfg)
+    cfg2 = tune_config(st, cfg)
+    # a settled 200-box pile needs far less than the 10k defaults
+    assert 16 <= cfg2.sap_window < 192
+    assert cfg2.sap_window % 8 == 0
+    assert 8 <= cfg2.sap_hits <= 64
+    assert cfg2.max_pairs % 512 == 0
+    assert cfg2.max_pairs >= int(st.stats.num_pairs)
+    # semantics/topology capacities untouched
+    assert cfg2.max_bodies == cfg.max_bodies
+    assert cfg2.velocity_iterations == cfg.velocity_iterations
+
+
+def test_tuned_config_steps_cleanly():
+    cfg = SimConfig(max_bodies=256, max_pairs=4096, broadphase="sap_grid",
+                    sap_window=192, sap_hits=8)
+    st = settled_pile(cfg)
+    cfg2 = tune_config(st, cfg)
+    st2 = resize(st, cfg2)
+    assert st2.cache.pi.shape[0] == cfg2.max_pairs
+    out = rollout(st2, cfg2, 10)
+    assert int(out.stats.pair_overflow) == 0
+    assert np.isfinite(np.asarray(out.bodies.pos)).all()
+    # warm-start impulses survived the resize: the settled pile does not
+    # re-converge from scratch (penetration stays tight on frame 1)
+    one = step(st2, cfg2)
+    assert float(one.stats.max_penetration) < 0.05
+
+
+def test_resize_grow_roundtrip():
+    cfg = SimConfig(max_bodies=256, max_pairs=1024, broadphase="sap_grid",
+                    sap_window=64, sap_hits=8)
+    st = settled_pile(cfg)
+    import dataclasses
+    big = dataclasses.replace(cfg, max_pairs=2048)
+    st2 = resize(st, big)
+    live = np.asarray(st.cache.pi) != np.int32(2**31 - 1)
+    np.testing.assert_array_equal(np.asarray(st2.cache.pi)[:1024][live],
+                                  np.asarray(st.cache.pi)[live])
+    assert (np.asarray(st2.cache.pi)[1024:] == np.int32(2**31 - 1)).all()
+
+
+def test_suggest_pair_budget_floor():
+    cfg = SimConfig(max_bodies=64, max_pairs=512, broadphase="n2")
+    st = scenes.pile(cfg, 20, seed=0).build()   # no stats yet: floor path
+    b = suggest_pair_budget(st)
+    assert b >= 512 and b % 512 == 0
