@@ -207,16 +207,16 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
             return 0
 
         def unroll2(visit, cnt):
-            """Eight visits per hardware-loop iteration (cuts the loop
-            overhead; 2x/4x/8x measured +7%/+5%/+2% on the streamed
+            """Sixteen visits per hardware-loop iteration (cuts the loop
+            overhead; 2x/4x/8x/16x measured +7%/+5%/+2%/+1% on the streamed
             kernel at 10k).  Gauss-Seidel order unchanged."""
-            def eight(h, _):
-                k = 8 * h
-                for o in range(8):
+            def sixteen(h, _):
+                k = 16 * h
+                for o in range(16):
                     visit(k + o, 0)
                 return 0
-            jax.lax.fori_loop(0, cnt // 8, eight, 0)
-            jax.lax.fori_loop(8 * (cnt // 8), cnt,
+            jax.lax.fori_loop(0, cnt // 16, sixteen, 0)
+            jax.lax.fori_loop(16 * (cnt // 16), cnt,
                               lambda k, _: visit(k, 0), 0)
 
         # -- warm start: apply cached impulses (SURVEY.md §3.2) --
