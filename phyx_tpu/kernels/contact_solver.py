@@ -210,13 +210,16 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
             """Sixteen visits per hardware-loop iteration (cuts the loop
             overhead; 2x/4x/8x/16x measured +7%/+5%/+2%/+1% on the streamed
             kernel at 10k).  Gauss-Seidel order unchanged."""
-            def sixteen(h, _):
-                k = 16 * h
-                for o in range(16):
+            W = 16 if not _use_interpret() else 4   # interpret: faster
+            #   test tracing, same structure (block + tail)
+
+            def block(h, _):
+                k = W * h
+                for o in range(W):
                     visit(k + o, 0)
                 return 0
-            jax.lax.fori_loop(0, cnt // 16, sixteen, 0)
-            jax.lax.fori_loop(16 * (cnt // 16), cnt,
+            jax.lax.fori_loop(0, cnt // W, block, 0)
+            jax.lax.fori_loop(W * (cnt // W), cnt,
                               lambda k, _: visit(k, 0), 0)
 
         # -- warm start: apply cached impulses (SURVEY.md §3.2) --
