@@ -1,14 +1,20 @@
 """Fenced cost of the solver compaction machinery at 10k-bench shapes.
 
-step.py compacts live contacts to the front with ``order = argsort(~valid)``
-then permutes EVERY Contacts field (19 arrays) with ``x[order]``, and after
-the solve inverts the permutation with a second argsort + two gathers.  Row
-gathers are row-serialized on this chip (~12 ns/row, BASELINE.md), so this
-is ~21 row-ops over C=65536 rows before the kernel even starts.
+RECORD (2026-08-17): the "candidate" below measured 2.16 -> 0.64 ms net
+and SHIPPED as step.py's packed compaction (one (C, 16) gather + one
+scatter un-permute, ids astype'd not bitcast — see CLAUDE.md rule 7a);
+this bench documents the decision and re-measures both schemes.
 
-Candidate: pack the 15 solver-needed columns (+2 bitcast int ids) into ONE
-(C, 16) matrix, gather once, and un-permute the (C, 2) accumulator block
-with one scatter.
+The pre-packing step.py compacted live contacts to the front with
+``order = argsort(~valid)`` then permuted EVERY Contacts field (19
+arrays) with ``x[order]``, and after the solve inverted the permutation
+with a second argsort + two gathers.  Row gathers are row-serialized on
+this chip (~12 ns/row, BASELINE.md), so that was ~21 row-ops over
+C=65536 rows before the kernel even started.
+
+Candidate (now shipped): pack the 15 solver-needed columns (+2 int id
+columns) into ONE (C, 16) matrix, gather once, and un-permute the (C, 2)
+accumulator block with one scatter.
 
 Protocol (BASELINE.md measurement integrity): scan-chained inputs (each
 iteration's valid mask is derived from the previous output), live-scalar
