@@ -63,15 +63,19 @@ def current_scheme(valid, f2, f1, ids):
 
 
 def packed_scheme(valid, f2, f1, ids):
-    """One packed gather + one scatter un-permute."""
+    """One packed gather + one scatter un-permute.
+
+    Ids ride the f32 pack VALUE-converted with astype (exact below 2^24),
+    matching the shipped step.py pack — NOT bitcast: TPU canonicalizes odd
+    f32 bit patterns in data movement (CLAUDE.md rule 7a), and ids
+    0..16384 are denormal bit patterns under a bitcast."""
     order = jnp.argsort(jnp.logical_not(valid))
     pack = jnp.concatenate(
         f2 + [x[:, None] for x in f1]
-        + [jax.lax.bitcast_convert_type(x, jnp.float32)[:, None]
-           for x in ids], axis=1)                      # (C, 19)
+        + [x.astype(jnp.float32)[:, None] for x in ids], axis=1)  # (C, 19)
     g = pack[order]
-    gi0 = jax.lax.bitcast_convert_type(g[:, 17], jnp.int32)
-    gi1 = jax.lax.bitcast_convert_type(g[:, 18], jnp.int32)
+    gi0 = g[:, 17].astype(jnp.int32)
+    gi1 = g[:, 18].astype(jnp.int32)
     acc = jnp.stack([
         g[:, 6] * 0.5 + g[:, 0] + gi0.astype(jnp.float32) * 1e-9,
         g[:, 7] * 0.5 + g[:, 3] + gi1.astype(jnp.float32) * 1e-9,

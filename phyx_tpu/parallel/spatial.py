@@ -282,7 +282,18 @@ def _exchange_halo(b: Bodies, dims: SpatialDims, axis: str) -> Bodies:
 
     Exports each side's H extreme-x owned bodies (slot-id-ordered for
     cache stability) over ``lax.ppermute``; missing neighbors (mesh
-    edges) deliver zero rows, which are re-parked as inactive."""
+    edges) deliver zero rows, which are re-parked as inactive.
+
+    Cache caveat: slot stability holds only while the exported edge SET
+    is stable.  The frame the set changes, a halo slot can hold a
+    DIFFERENT body while the shard-local contact cache still joins on
+    (owner-slot, halo-slot) local ids — a cut contact whose feature ids
+    coincide then warm-starts from the previous occupant's impulse for
+    that one frame.  This is bounded (one frame, one impulse magnitude,
+    clamped by the normal/friction limiters like any stale warm start
+    after body motion) and self-corrects as the solve re-converges; it
+    is the same class of transient as a cache hit on a body that moved
+    sharply between frames."""
     D, S, H, M = dims
     own = jax.tree.map(lambda x: x[S + H:S + H + M], b)
     take = min(H, M)          # H > M: export everything + inactive pad
@@ -373,7 +384,13 @@ def unshard(sstate: State, meta: SpatialMeta, template: State) -> State:
     """Gather owned rows back into a global State (host-side sync).
 
     ``template`` supplies the original capacity/layout (typically the
-    pre-shard state); statics are restored from shard 0's replicas."""
+    pre-shard state); statics are restored from shard 0's replicas.
+
+    The returned contact cache is EMPTY (like ``shard_spatial``'s
+    per-shard caches): the template's cache predates the sharded rollout,
+    so carrying it over would warm-start the first post-unshard frame
+    from stale impulses for any moved pair whose feature ids still match.
+    One frame of warm-start rebuild is the exact, cheap alternative."""
     dims = meta.dims
     D, S, H, M = dims
     out = {f.name: np.asarray(getattr(template.bodies, f.name)).copy()
@@ -400,7 +417,9 @@ def unshard(sstate: State, meta: SpatialMeta, template: State) -> State:
         joints = template.joints.replace(accum=jnp.asarray(acc))
     return State(bodies=Bodies(**{k: jnp.asarray(v)
                                   for k, v in out.items()}),
-                 joints=joints, cache=template.cache, stats=stats)
+                 joints=joints,
+                 cache=ContactCache.empty(template.cache.pi.shape[0]),
+                 stats=stats)
 
 
 def rebalance(sstate: State, meta: SpatialMeta, template: State,

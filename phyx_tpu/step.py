@@ -152,7 +152,7 @@ def step(state: State, cfg: SimConfig) -> State:
             # sweep body.  Row gathers are row-serialized on this chip
             # (~12 ns/row, BASELINE.md), so instead of permuting all 19
             # Contacts fields we pack the 14 solver-read columns (+2
-            # bitcast int ids) into ONE (C, 16) matrix, gather it once,
+            # astype'd int ids) into ONE (C, 16) matrix, gather it once,
             # and un-permute the accumulators with one scatter (fenced:
             # benches/micro_compaction.py, 2.16 -> 0.64 ms at 10k shapes).
             order = jnp.argsort(jnp.logical_not(contacts.valid))
