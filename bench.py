@@ -68,7 +68,8 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str):
 
 def build(scene: str, boxes: int, backend: str, broadphase: str = "sap",
           sap_window: int = 96, sap_hits: int = 8,
-          pairs_per_box: float = 0.0, velocity_tol: float = 0.0):
+          pairs_per_box: float = 0.0, velocity_tol: float = 0.0,
+          velocity_rel_tol: float = 0.0, position_rel_tol: float = 0.0):
     cap = 1
     while cap < boxes + 8:
         cap *= 2
@@ -98,6 +99,8 @@ def build(scene: str, boxes: int, backend: str, broadphase: str = "sap",
         num_colors=24,
         solver_backend=backend,
         velocity_tol=velocity_tol,
+        velocity_rel_tol=velocity_rel_tol,
+        position_rel_tol=position_rel_tol,
     )
     kw = {} if joint_scene else {"seed": 0}
     sb = getattr(scenes, scene)(cfg, boxes, **kw)
@@ -137,6 +140,16 @@ def main():
                     help="residual-gated velocity early exit (0 = off; "
                          "changes solver semantics — reported numbers use "
                          "fixed iteration counts)")
+    ap.add_argument("--rel-tol", type=float, default=0.0,
+                    help="scale-normalized velocity gate: skip velocity "
+                         "iterations once residual < rel_tol * max warm "
+                         "impulse (0 = off)")
+    ap.add_argument("--pos-rel-tol", type=float, default=0.0,
+                    help="scale-normalized displacement gate (0 = off)")
+    ap.add_argument("--autotune", action="store_true",
+                    help="settle via tune.rollout_autotuned: budgets "
+                         "(window/hits/pairs) self-size on overflow — no "
+                         "hand-passed --sap-window needed")
     ap.add_argument("--envs", type=int, default=64,
                     help="env count for --scene envs (boxes = per-env size)")
     args = ap.parse_args()
@@ -146,22 +159,48 @@ def main():
     else:
         cfg, st = build(args.scene, args.boxes, args.backend,
                         args.broadphase, args.sap_window, args.sap_hits,
-                        args.pairs_per_box, args.velocity_tol)
+                        args.pairs_per_box, args.velocity_tol,
+                        args.rel_tol, args.pos_rel_tol)
 
     def fence(s):
         # jax.block_until_ready can return before remote execution finishes
         # on this PJRT stack (measured); fetching a live scalar cannot.
         return float(s.stats.residual)
 
-    # Compile both scan lengths, then settle the pile so the measured
-    # window sees the full contact network, not free fall.
-    st = rollout(st, cfg, args.steps)
-    fence(st)
-    st = rollout(st, cfg, 2 * args.steps)
-    fence(st)
-    for _ in range(max(0, -(-args.settle // args.steps) - 3)):
+    retunes = []
+    if args.autotune:
+        # Self-sizing settle (VERDICT r2 #5): overflow -> re-derive
+        # window/hits/pair budgets from the measured state, continue.
+        # Chunks stay <= 10 steps at 100k scale (longer device programs
+        # crash the remote worker — CLAUDE.md rule 5).
+        import sys
+
+        from phyx_tpu.tune import rollout_autotuned
+        chunk = 10 if args.boxes >= 50000 else min(args.steps, 50)
+        st, cfg = rollout_autotuned(
+            st, cfg, args.settle, chunk=chunk,
+            on_retune=lambda a, b, done: (
+                retunes.append({"frame": done, "window": b.sap_window,
+                                "hits": b.sap_hits, "pairs": b.max_pairs}),
+                print(f"# retune@{done}: window {a.sap_window}->"
+                      f"{b.sap_window} hits {a.sap_hits}->{b.sap_hits} "
+                      f"pairs {a.max_pairs}->{b.max_pairs}",
+                      file=sys.stderr)))
+        # compile the two measurement scan lengths on the final config
         st = rollout(st, cfg, args.steps)
-    fence(st)
+        fence(st)
+        st = rollout(st, cfg, 2 * args.steps)
+        fence(st)
+    else:
+        # Compile both scan lengths, then settle the pile so the measured
+        # window sees the full contact network, not free fall.
+        st = rollout(st, cfg, args.steps)
+        fence(st)
+        st = rollout(st, cfg, 2 * args.steps)
+        fence(st)
+        for _ in range(max(0, -(-args.settle // args.steps) - 3)):
+            st = rollout(st, cfg, args.steps)
+        fence(st)
 
     # Two scan lengths cancel the fixed per-dispatch host/tunnel overhead:
     # per-step = (t(2n) - t(n)) / n.  A noisy pair (t2 <= t1) is re-measured
@@ -216,6 +255,11 @@ def main():
             # window-sizing policy readout on the measured (settled) state:
             # compare against --sap-window; resize if overflow fires
             "suggested_sap_window": _suggest_window(st),
+            "autotune": ({"final_window": cfg.sap_window,
+                          "final_hits": cfg.sap_hits,
+                          "final_pairs": cfg.max_pairs,
+                          "retunes": retunes}
+                         if args.autotune else None),
         },
     }))
 

@@ -31,29 +31,31 @@ from phyx_tpu.narrowphase import Contacts
 BIG = jnp.int32(2**31 - 1)
 
 
-def color_contacts(contacts: Contacts, body_static: jax.Array,
-                   cfg: SimConfig) -> Contacts:
-    """Assign colors 0..num_colors-1; the last class may contain conflicts.
+def color_rows(row_b1: jax.Array, row_b2: jax.Array, valid: jax.Array,
+               body_static: jax.Array, num_colors: int) -> jax.Array:
+    """Color arbitrary two-body constraint rows (contacts OR user joints):
+    within colors 0..num_colors-2 no dynamic body repeats; leftovers land
+    in the final class (Jacobi, scatter-add).  Returns (R,) int32 colors.
 
     ``body_static``: (N,) bool, True where the body cannot move.
     """
-    C = contacts.valid.shape[0]
+    C = valid.shape[0]
     # Priority packing below keeps idx in the low 20 bits; at C >= 2^20 idx
     # would bleed into the hash bits, priorities would lose uniqueness, and
-    # two contacts sharing a body could win the same color (ADVICE r1 #2).
+    # two rows sharing a body could win the same color (ADVICE r1 #2).
     # C is a static capacity, so this is a trace-time check.
     assert C < 2 ** 20, (
-        f"contact capacity {C} >= 2^20 breaks the coloring priority packing; "
-        "the XLA backend caps max_contacts at 2^20 - 1 (use the Pallas "
+        f"row capacity {C} >= 2^20 breaks the coloring priority packing; "
+        "the XLA backend caps row capacity at 2^20 - 1 (use the Pallas "
         "backends beyond that)")
     n = body_static.shape[0]
     idx = jnp.arange(C, dtype=jnp.int32)
-    s1 = body_static[contacts.b1]
-    s2 = body_static[contacts.b2]
+    s1 = body_static[row_b1]
+    s2 = body_static[row_b2]
     # static endpoints scatter to a dropped dummy slot and always "win"
-    b1 = jnp.where(s1, n, contacts.b1)
-    b2 = jnp.where(s2, n, contacts.b2)
-    last = jnp.int32(cfg.num_colors - 1)
+    b1 = jnp.where(s1, n, row_b1)
+    b2 = jnp.where(s2, n, row_b2)
+    last = jnp.int32(num_colors - 1)
 
     def round_fn(c, state):
         color, remaining = state
@@ -81,8 +83,16 @@ def color_contacts(contacts: Contacts, body_static: jax.Array,
 
     color0 = jnp.full((C,), last, jnp.int32)
     color, _ = jax.lax.fori_loop(
-        0, cfg.num_colors - 1, round_fn, (color0, contacts.valid))
-    return contacts.replace(color=jnp.where(contacts.valid, color, last))
+        0, num_colors - 1, round_fn, (color0, valid))
+    return jnp.where(valid, color, last)
+
+
+def color_contacts(contacts: Contacts, body_static: jax.Array,
+                   cfg: SimConfig) -> Contacts:
+    """Assign colors 0..num_colors-1; the last class may contain conflicts."""
+    color = color_rows(contacts.b1, contacts.b2, contacts.valid,
+                       body_static, cfg.num_colors)
+    return contacts.replace(color=color)
 
 
 def check_coloring(contacts: Contacts, body_static: jax.Array,

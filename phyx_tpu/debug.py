@@ -41,6 +41,10 @@ def _guards(out: State) -> None:
     checkify.check(out.stats.pair_overflow == 0,
                    "pair budget overflow: {n} candidate pairs dropped "
                    "(raise max_pairs)", n=out.stats.pair_overflow)
+    checkify.check(out.stats.halo_overflow == 0,
+                   "spatial halo overflow: {n} bodies reach past the "
+                   "exported halo (grow halo / rebalance)",
+                   n=out.stats.halo_overflow)
 
 
 @functools.lru_cache(maxsize=None)

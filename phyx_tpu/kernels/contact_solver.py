@@ -48,19 +48,28 @@ def _use_interpret() -> bool:
 
 
 def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
-                   j_cap: int = 0, vel_tol: float = 0.0):
+                   j_cap: int = 0, vel_gated: bool = False,
+                   pos_gated: bool = False):
     """Build the kernel body with static iteration counts / capacities.
 
     Row slots [0, c_cap) are contacts; slots [c_cap, c_cap + j_cap) are
     user-joint rows (revolute/distance, encodings in joints.py) swept after
     the contacts in every pass.  j_cap == 0 compiles the joint loops away.
+
+    ``vel_gated``/``pos_gated`` compile residual-gated early exit for the
+    velocity/displacement iterations; the RUNTIME thresholds arrive in the
+    ``tol_ref`` SMEM operand (tol_ref[0] velocity, tol_ref[1] position) so
+    a scale-normalized threshold (solver.velocity_threshold, computed from
+    the frame's warm-start impulses) needs no recompilation.  A threshold
+    of 0.0 never fires (residual >= 0 is never < 0).
     """
 
-    def kern(num_ref, b1_ref, b2_ref, con_ref, warm_ref, body_in_ref,
-             body_ref, acc_ref, res_ref, conv_ref):
+    def kern(num_ref, tol_ref, b1_ref, b2_ref, con_ref, warm_ref,
+             body_in_ref, body_ref, acc_ref, res_ref, conv_ref, pres_ref):
         num = num_ref[0]
         numj = num_ref[1]
         conv_ref[0] = 0
+        conv_ref[1] = 0
 
         # -- copy body state into the writable SMEM output --
         # (input_output_aliases does NOT work here: for SMEM-blockspec
@@ -167,44 +176,51 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
         joint_vel_one = make_joint_vel_one(True)
         joint_vel_one_nores = make_joint_vel_one(False)
 
-        def joint_pos_one(kk, _):
-            k = c_cap + kk
-            base, i, j = joint_load(k)
-            kind = con_ref[base + 11]
-            is_rev = kind == 1.0
-            r1x = jnp.where(is_rev, con_ref[base], con_ref[base + 2])
-            r1y = jnp.where(is_rev, con_ref[base + 1], con_ref[base + 3])
-            r2x = jnp.where(is_rev, con_ref[base + 2], con_ref[base + 4])
-            r2y = jnp.where(is_rev, con_ref[base + 3], con_ref[base + 5])
-            px1 = body_ref[i + 5]
-            py1 = body_ref[i + 6]
-            q1 = body_ref[i + 7]
-            px2 = body_ref[j + 5]
-            py2 = body_ref[j + 6]
-            q2 = body_ref[j + 7]
-            dvx = px2 - q2 * r2y - px1 + q1 * r1y
-            dvy = py2 + q2 * r2x - py1 - q1 * r1x
-            m00 = con_ref[base + 4]
-            m01 = con_ref[base + 5]
-            m11 = con_ref[base + 6]
-            dstx = con_ref[base + 7]
-            dsty = con_ref[base + 8]
-            ex = dstx - dvx
-            ey = dsty - dvy
-            px_r = m00 * ex + m01 * ey
-            py_r = m01 * ex + m11 * ey
-            nx = con_ref[base]
-            ny = con_ref[base + 1]
-            dd = con_ref[base + 6] * (con_ref[base + 7]
-                                      - (nx * dvx + ny * dvy))
-            px = jnp.where(is_rev, px_r, nx * dd)
-            py = jnp.where(is_rev, py_r, ny * dd)
-            acc_ref[k * 4 + 2] = acc_ref[k * 4 + 2] + jnp.where(
-                is_rev, px, dd)
-            acc_ref[k * 4 + 3] = acc_ref[k * 4 + 3] + jnp.where(
-                is_rev, py, 0.0)
-            joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 5)
-            return 0
+        def make_joint_pos_one(with_res):
+            def joint_pos_one(kk, _):
+                k = c_cap + kk
+                base, i, j = joint_load(k)
+                kind = con_ref[base + 11]
+                is_rev = kind == 1.0
+                r1x = jnp.where(is_rev, con_ref[base], con_ref[base + 2])
+                r1y = jnp.where(is_rev, con_ref[base + 1], con_ref[base + 3])
+                r2x = jnp.where(is_rev, con_ref[base + 2], con_ref[base + 4])
+                r2y = jnp.where(is_rev, con_ref[base + 3], con_ref[base + 5])
+                px1 = body_ref[i + 5]
+                py1 = body_ref[i + 6]
+                q1 = body_ref[i + 7]
+                px2 = body_ref[j + 5]
+                py2 = body_ref[j + 6]
+                q2 = body_ref[j + 7]
+                dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                m00 = con_ref[base + 4]
+                m01 = con_ref[base + 5]
+                m11 = con_ref[base + 6]
+                dstx = con_ref[base + 7]
+                dsty = con_ref[base + 8]
+                ex = dstx - dvx
+                ey = dsty - dvy
+                px_r = m00 * ex + m01 * ey
+                py_r = m01 * ex + m11 * ey
+                nx = con_ref[base]
+                ny = con_ref[base + 1]
+                dd = con_ref[base + 6] * (con_ref[base + 7]
+                                          - (nx * dvx + ny * dvy))
+                px = jnp.where(is_rev, px_r, nx * dd)
+                py = jnp.where(is_rev, py_r, ny * dd)
+                acc_ref[k * 4 + 2] = acc_ref[k * 4 + 2] + jnp.where(
+                    is_rev, px, dd)
+                acc_ref[k * 4 + 3] = acc_ref[k * 4 + 3] + jnp.where(
+                    is_rev, py, 0.0)
+                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 5)
+                if with_res:
+                    pres_ref[0] = jnp.maximum(
+                        pres_ref[0], jnp.maximum(jnp.abs(px), jnp.abs(py)))
+                return 0
+            return joint_pos_one
+
+        joint_pos_one = make_joint_pos_one(False)
 
         def unroll2(visit, cnt):
             """Sixteen visits per hardware-loop iteration (cuts the loop
@@ -257,7 +273,7 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
 
         # -- velocity iterations (hot loop #1) --
         # ``with_res`` builds the residual-recording variant; the residual
-        # is only REPORTED for the last executed pass, so when vel_tol is
+        # is only REPORTED for the last executed pass, so when gating is
         # off the earlier passes run a ~5-op-cheaper sweep body.
         def make_vel_one(with_res):
             # with_res: the max-|impulse-delta| residual accumulates into
@@ -332,15 +348,15 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
             if j_cap:
                 jax.lax.fori_loop(0, numj, joint_vel_one, 0)
 
-        if vel_tol > 0.0:
+        if vel_gated:
             # residual-gated early exit needs the residual EVERY pass:
             # once an iteration's residual (contacts + joints) drops below
-            # vel_tol, the remaining velocity iterations are skipped
+            # the runtime threshold, remaining velocity iterations skip
             def vel_iter(_, carry):
                 @pl.when(conv_ref[0] == 0)
                 def _():
                     run_res_sweep()
-                    @pl.when(res_ref[0] < vel_tol)
+                    @pl.when(res_ref[0] < tol_ref[0])
                     def _():
                         conv_ref[0] = 1
                 return carry
@@ -359,7 +375,7 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
                 run_res_sweep()
 
         # -- position (displacement) iterations on pseudo-velocities --
-        def pos_iter(_, carry):
+        def make_pos_one(with_res):
             def one(k, _c):
                 base = k * 12
                 nx = con_ref[base]
@@ -398,18 +414,44 @@ def _solver_kernel(vel_iters: int, pos_iters: int, c_cap: int, n_cap: int,
                 body_ref[j + 5] = px2 + ix * im2
                 body_ref[j + 6] = py2 + iy * im2
                 body_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
+                if with_res:
+                    pres_ref[0] = jnp.maximum(pres_ref[0], jnp.abs(d))
                 return 0
-            unroll2(one, num)
-            if j_cap:
-                jax.lax.fori_loop(0, numj, joint_pos_one, 0)
-            return carry
+            return one
+
+        if pos_gated:
+            # same latch structure as the velocity gate; the first
+            # position iteration always runs (conv starts 0)
+            pos_one_res = make_pos_one(True)
+            joint_pos_one_res = make_joint_pos_one(True)
+
+            def pos_iter(_, carry):
+                @pl.when(conv_ref[1] == 0)
+                def _():
+                    pres_ref[0] = 0.0
+                    unroll2(pos_one_res, num)
+                    if j_cap:
+                        jax.lax.fori_loop(0, numj, joint_pos_one_res, 0)
+                    @pl.when(pres_ref[0] < tol_ref[1])
+                    def _():
+                        conv_ref[1] = 1
+                return carry
+        else:
+            pos_one = make_pos_one(False)
+
+            def pos_iter(_, carry):
+                unroll2(pos_one, num)
+                if j_cap:
+                    jax.lax.fori_loop(0, numj, joint_pos_one, 0)
+                return carry
         jax.lax.fori_loop(0, pos_iters, pos_iter, 0)
 
     return kern
 
 
 @functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters",
-                                             "j_cap", "vel_tol"))
+                                             "j_cap", "vel_gated",
+                                             "pos_gated"))
 def solve_contacts_fused(
     body_flat: jax.Array,    # (N*8,) f32
     b1: jax.Array,           # (C+J,) int32
@@ -421,19 +463,26 @@ def solve_contacts_fused(
     pos_iters: int,
     num_joints: jax.Array | None = None,   # () int32
     j_cap: int = 0,
-    vel_tol: float = 0.0,
+    vel_gated: bool = False,
+    pos_gated: bool = False,
+    tols: jax.Array | None = None,   # (2,) f32 [vel, pos] runtime thresholds
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (body_flat', acc ((C+J)*4,), residual (1,)).
 
     Slots [0, C) are contact rows; slots [C, C+J) are user-joint rows
-    (joints.py encodings), swept after the contacts in every pass."""
+    (joints.py encodings), swept after the contacts in every pass.
+    ``vel_gated``/``pos_gated`` compile residual-gated early exit; the
+    runtime thresholds in ``tols`` (solver.velocity_threshold /
+    position_threshold — scale-normalized) gate without recompiling."""
     n_cap = body_flat.shape[0] // 8
     c_cap = b1.shape[0] - j_cap
     kern = _solver_kernel(vel_iters, pos_iters, c_cap, n_cap, j_cap,
-                          vel_tol)
+                          vel_gated, pos_gated)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     if num_joints is None:
         num_joints = jnp.zeros((), jnp.int32)
+    if tols is None:
+        tols = jnp.zeros((2,), jnp.float32)
     nums = jnp.stack([num_contacts.astype(jnp.int32),
                       num_joints.astype(jnp.int32)])
     body_out, acc, res = pl.pallas_call(
@@ -443,9 +492,10 @@ def solve_contacts_fused(
             jax.ShapeDtypeStruct(((c_cap + j_cap) * 4,), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
-        in_specs=[smem] * 6,
+        in_specs=[smem] * 7,
         out_specs=(smem, smem, smem),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.float32)],
         interpret=_use_interpret(),
-    )(nums, b1, b2, con_flat, warm_flat, body_flat)
+    )(nums, tols, b1, b2, con_flat, warm_flat, body_flat)
     return body_out, acc, res

@@ -56,16 +56,25 @@ def _use_interpret() -> bool:
 
 
 def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
-                     n_cap: int, c_blocks: int, vel_tol: float = 0.0):
+                     n_cap: int, c_blocks: int, vel_gated: bool = False,
+                     pos_gated: bool = False):
     """Pass p: 0 = warm start, 1..vel_iters = velocity, rest = position.
     Blocks [0, c_blocks) hold contact rows; [c_blocks, n_blocks) hold
-    user-joint rows (compiled away when c_blocks == n_blocks)."""
+    user-joint rows (compiled away when c_blocks == n_blocks).
+
+    ``vel_gated``/``pos_gated`` compile residual-gated early exit; the
+    RUNTIME thresholds live in ``tol_ref`` (tol_ref[0] velocity,
+    tol_ref[1] position) so scale-normalized thresholds change per frame
+    without recompiling.  A skipped pass still streams its blocks (the
+    DMA pipeline is unconditional); only the sweep work is skipped."""
 
     n_passes = 1 + vel_iters + pos_iters
     total = n_passes * n_blocks
     has_joints = c_blocks < n_blocks
+    gated = vel_gated or pos_gated
 
     def kern(num_ref,                     # (2,) i32 SMEM: [contacts, joints]
+             tol_ref,                     # (2,) f32 SMEM: [vel, pos] thresholds
              b1_hbm, b2_hbm, con_hbm, warm_hbm,   # ANY (HBM)
              body_io_hbm,                 # (N*8,) f32 ANY (aliased input)
              acc_init_hbm,                # (C*4,) f32 ANY (aliased input)
@@ -73,7 +82,8 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
              acc_hbm,                     # out ANY (C*4,) f32 == acc_init_hbm
              res_ref,                     # out (1,) f32 SMEM
              body_ref, body_sem,          # SMEM body working set + its DMA sem
-             conv_ref,                    # SMEM (1,) i32 early-exit flag
+             conv_ref,                    # SMEM (2,) i32 early-exit flags
+             pres_ref,                    # SMEM (1,) f32 position residual
              b1_a, b2_a, con_a, warm_a, acc_a, sem_a, osem_a,
              b1_b, b2_b, con_b, warm_b, acc_b, sem_b, osem_b):
         del body_io_hbm  # aliased with body_hbm; all HBM access via body_hbm
@@ -83,6 +93,7 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
         numj = num_ref[1]
         res_ref[0] = 0.0
         conv_ref[0] = 0
+        conv_ref[1] = 0
 
         # Live block count: the pair budget is sized for worst-case scenes,
         # so the tail of the contact region is routinely dead (cnt == 0) —
@@ -210,7 +221,7 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
 
         def make_vel_sweep(with_res):
             # ``with_res`` records the residual; only the LAST executed
-            # velocity pass is reported, so when vel_tol is off the other
+            # velocity pass is reported, so when the gates are off the other
             # passes run this body without the ~6 residual ops per visit.
             def vel_sweep(bufs, cnt):
                 b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
@@ -278,49 +289,55 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
         vel_sweep = make_vel_sweep(True)
         vel_sweep_nores = make_vel_sweep(False)
 
-        def pos_sweep(bufs, cnt):
-            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+        def make_pos_sweep(with_res):
+            def pos_sweep(bufs, cnt):
+                b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
 
-            def one(k, _):
-                base = k * 12
-                nx = con_s[base]
-                ny = con_s[base + 1]
-                r1x = con_s[base + 2]
-                r1y = con_s[base + 3]
-                r2x = con_s[base + 4]
-                r2y = con_s[base + 5]
-                mn = con_s[base + 6]
-                ddv = con_s[base + 10]
-                i = b1_s[k]
-                j = b2_s[k]
-                im1 = body_ref[i + 3]
-                ii1 = body_ref[i + 4]
-                im2 = body_ref[j + 3]
-                ii2 = body_ref[j + 4]
-                px1 = body_ref[i + 5]
-                py1 = body_ref[i + 6]
-                q1 = body_ref[i + 7]
-                px2 = body_ref[j + 5]
-                py2 = body_ref[j + 6]
-                q2 = body_ref[j + 7]
-                dvx = px2 - q2 * r2y - px1 + q1 * r1y
-                dvy = py2 + q2 * r2x - py1 - q1 * r1x
-                vn = nx * dvx + ny * dvy
-                d = (ddv - vn) * mn
-                a = acc_s[k * 4 + 2]
-                na = jnp.maximum(a + d, 0.0)
-                d = na - a
-                acc_s[k * 4 + 2] = na
-                ix = nx * d
-                iy = ny * d
-                body_ref[i + 5] = px1 - ix * im1
-                body_ref[i + 6] = py1 - iy * im1
-                body_ref[i + 7] = q1 - ii1 * (r1x * iy - r1y * ix)
-                body_ref[j + 5] = px2 + ix * im2
-                body_ref[j + 6] = py2 + iy * im2
-                body_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
-                return 0
-            unroll2(one, cnt)
+                def one(k, _):
+                    base = k * 12
+                    nx = con_s[base]
+                    ny = con_s[base + 1]
+                    r1x = con_s[base + 2]
+                    r1y = con_s[base + 3]
+                    r2x = con_s[base + 4]
+                    r2y = con_s[base + 5]
+                    mn = con_s[base + 6]
+                    ddv = con_s[base + 10]
+                    i = b1_s[k]
+                    j = b2_s[k]
+                    im1 = body_ref[i + 3]
+                    ii1 = body_ref[i + 4]
+                    im2 = body_ref[j + 3]
+                    ii2 = body_ref[j + 4]
+                    px1 = body_ref[i + 5]
+                    py1 = body_ref[i + 6]
+                    q1 = body_ref[i + 7]
+                    px2 = body_ref[j + 5]
+                    py2 = body_ref[j + 6]
+                    q2 = body_ref[j + 7]
+                    dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                    dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                    vn = nx * dvx + ny * dvy
+                    d = (ddv - vn) * mn
+                    a = acc_s[k * 4 + 2]
+                    na = jnp.maximum(a + d, 0.0)
+                    d = na - a
+                    acc_s[k * 4 + 2] = na
+                    ix = nx * d
+                    iy = ny * d
+                    body_ref[i + 5] = px1 - ix * im1
+                    body_ref[i + 6] = py1 - iy * im1
+                    body_ref[i + 7] = q1 - ii1 * (r1x * iy - r1y * ix)
+                    body_ref[j + 5] = px2 + ix * im2
+                    body_ref[j + 6] = py2 + iy * im2
+                    body_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
+                    if with_res:
+                        pres_ref[0] = jnp.maximum(pres_ref[0], jnp.abs(d))
+                    return 0
+                unroll2(one, cnt)
+            return pos_sweep
+
+        pos_sweep = make_pos_sweep(False)
 
         # ---- user-joint sweeps (row encodings: joints.py docstring;
         # math mirrors kernels/contact_solver.py joint_*_one) ----
@@ -412,44 +429,52 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
         joint_vel_sweep = make_joint_vel_sweep(True)
         joint_vel_sweep_nores = make_joint_vel_sweep(False)
 
-        def joint_pos_sweep(bufs, cnt):
-            b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
+        def make_joint_pos_sweep(with_res):
+            def joint_pos_sweep(bufs, cnt):
+                b1_s, b2_s, con_s, warm_s, acc_s = bufs[:5]
 
-            def one(k, _):
-                base = k * 12
-                is_rev, r1x, r1y, r2x, r2y = joint_geom(con_s, base)
-                i = b1_s[k]
-                j = b2_s[k]
-                px1 = body_ref[i + 5]
-                py1 = body_ref[i + 6]
-                q1 = body_ref[i + 7]
-                px2 = body_ref[j + 5]
-                py2 = body_ref[j + 6]
-                q2 = body_ref[j + 7]
-                dvx = px2 - q2 * r2y - px1 + q1 * r1y
-                dvy = py2 + q2 * r2x - py1 - q1 * r1x
-                m00 = con_s[base + 4]
-                m01 = con_s[base + 5]
-                m11 = con_s[base + 6]
-                dstx = con_s[base + 7]
-                dsty = con_s[base + 8]
-                ex = dstx - dvx
-                ey = dsty - dvy
-                px_r = m00 * ex + m01 * ey
-                py_r = m01 * ex + m11 * ey
-                nx = con_s[base]
-                ny = con_s[base + 1]
-                dd = con_s[base + 6] * (con_s[base + 7]
-                                        - (nx * dvx + ny * dvy))
-                px = jnp.where(is_rev, px_r, nx * dd)
-                py = jnp.where(is_rev, py_r, ny * dd)
-                acc_s[k * 4 + 2] = acc_s[k * 4 + 2] + jnp.where(
-                    is_rev, px, dd)
-                acc_s[k * 4 + 3] = acc_s[k * 4 + 3] + jnp.where(
-                    is_rev, py, 0.0)
-                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 5)
-                return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+                def one(k, _):
+                    base = k * 12
+                    is_rev, r1x, r1y, r2x, r2y = joint_geom(con_s, base)
+                    i = b1_s[k]
+                    j = b2_s[k]
+                    px1 = body_ref[i + 5]
+                    py1 = body_ref[i + 6]
+                    q1 = body_ref[i + 7]
+                    px2 = body_ref[j + 5]
+                    py2 = body_ref[j + 6]
+                    q2 = body_ref[j + 7]
+                    dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                    dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                    m00 = con_s[base + 4]
+                    m01 = con_s[base + 5]
+                    m11 = con_s[base + 6]
+                    dstx = con_s[base + 7]
+                    dsty = con_s[base + 8]
+                    ex = dstx - dvx
+                    ey = dsty - dvy
+                    px_r = m00 * ex + m01 * ey
+                    py_r = m01 * ex + m11 * ey
+                    nx = con_s[base]
+                    ny = con_s[base + 1]
+                    dd = con_s[base + 6] * (con_s[base + 7]
+                                            - (nx * dvx + ny * dvy))
+                    px = jnp.where(is_rev, px_r, nx * dd)
+                    py = jnp.where(is_rev, py_r, ny * dd)
+                    acc_s[k * 4 + 2] = acc_s[k * 4 + 2] + jnp.where(
+                        is_rev, px, dd)
+                    acc_s[k * 4 + 3] = acc_s[k * 4 + 3] + jnp.where(
+                        is_rev, py, 0.0)
+                    joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 5)
+                    if with_res:
+                        pres_ref[0] = jnp.maximum(
+                            pres_ref[0],
+                            jnp.maximum(jnp.abs(px), jnp.abs(py)))
+                    return 0
+                jax.lax.fori_loop(0, cnt, one, 0)
+            return joint_pos_sweep
+
+        joint_pos_sweep = make_joint_pos_sweep(False)
 
         # ---- orchestration: two global steps per loop iteration with
         # statically assigned buffer sets (A for even g, B for odd g) ----
@@ -484,14 +509,21 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                 is_j = None
                 cnt = jnp.clip(num - b * BLK, 0, BLK)
 
-            if vel_tol > 0.0:
+            if gated:
                 # Residual-gated mode: EVERY velocity pass records the
                 # residual (the gate reads it); reset at the start of each
-                # velocity pass (unless early-exited).
+                # velocity pass (unless early-exited).  The runtime
+                # thresholds come from tol_ref (0.0 never fires).
                 @pl.when((b == 0) & (p >= 1) & (p <= vel_iters)
                          & (conv_ref[0] == 0))
                 def _():
                     res_ref[0] = 0.0
+
+                if pos_gated:
+                    @pl.when((b == 0) & (p > vel_iters)
+                             & (conv_ref[1] == 0))
+                    def _():
+                        pres_ref[0] = 0.0
 
                 # Pass kind: 0 warm, 1 velocity, 2 position (+3 joints)
                 kind = jnp.where(p == 0, 0,
@@ -505,21 +537,34 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                     def _():
                         f()
 
+                def gated_pos(f):
+                    if not pos_gated:
+                        f()
+                        return
+
+                    @pl.when(conv_ref[1] == 0)
+                    def _():
+                        f()
+
+                pos_fn = make_pos_sweep(pos_gated)
+                joint_pos_fn = make_joint_pos_sweep(pos_gated)
+
                 if has_joints:
                     jax.lax.switch(kind + 3 * is_j, [
                         lambda: warm_sweep(cur, cnt),
                         lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
-                        lambda: pos_sweep(cur, cnt),
+                        lambda: gated_pos(lambda: pos_fn(cur, cnt)),
                         lambda: joint_warm_sweep(cur, cnt),
                         lambda: gated_vel(
                             lambda: joint_vel_sweep(cur, cnt)),
-                        lambda: joint_pos_sweep(cur, cnt),
+                        lambda: gated_pos(
+                            lambda: joint_pos_fn(cur, cnt)),
                     ])
                 else:
                     jax.lax.switch(kind, [
                         lambda: warm_sweep(cur, cnt),
                         lambda: gated_vel(lambda: vel_sweep(cur, cnt)),
-                        lambda: pos_sweep(cur, cnt),
+                        lambda: gated_pos(lambda: pos_fn(cur, cnt)),
                     ])
             else:
                 # Fixed-count mode: only the LAST velocity pass (the one
@@ -553,12 +598,18 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
                         lambda: pos_sweep(cur, cnt),
                     ])
 
-            if vel_tol > 0.0:
-                # end of a velocity pass: latch convergence
+            if gated:
+                # end of a velocity/position pass: latch convergence
                 @pl.when((b == nb - 1) & (p >= 1) & (p <= vel_iters)
-                         & (res_ref[0] < vel_tol))
+                         & (res_ref[0] < tol_ref[0]))
                 def _():
                     conv_ref[0] = 1
+
+                if pos_gated:
+                    @pl.when((b == nb - 1) & (p > vel_iters)
+                             & (pres_ref[0] < tol_ref[1]))
+                    def _():
+                        conv_ref[1] = 1
 
             acc_out_copy(cur, b).start()
 
@@ -618,7 +669,8 @@ def _streamed_kernel(vel_iters: int, pos_iters: int, n_blocks: int,
 
 
 @functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters",
-                                              "c_cap", "vel_tol"))
+                                              "c_cap", "vel_gated",
+                                              "pos_gated"))
 def solve_contacts_streamed(
     body_flat: jax.Array,    # (N*8,) f32
     b1: jax.Array,           # (R,) int32, R multiple of BLK, R >= 2*BLK
@@ -630,7 +682,9 @@ def solve_contacts_streamed(
     pos_iters: int,
     num_joints: Optional[jax.Array] = None,  # () int32
     c_cap: Optional[int] = None,  # contact rows; joint rows at [c_cap, R)
-    vel_tol: float = 0.0,
+    vel_gated: bool = False,
+    pos_gated: bool = False,
+    tols: Optional[jax.Array] = None,  # (2,) f32 [vel, pos] thresholds
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (body_flat', acc (R*4,), residual (1,)).
 
@@ -638,7 +692,12 @@ def solve_contacts_streamed(
     the joint region) must be no-ops (masses = 0, warm = 0, clamped body
     ids) — guaranteed by solver.py packing.  Accumulator layout per slot:
     contacts (normal, tangent, displacement, unused); joints (velocity
-    impulse x, y, displacement impulse x, y)."""
+    impulse x, y, displacement impulse x, y).
+
+    ``vel_gated``/``pos_gated`` compile residual-gated early exit for the
+    velocity/displacement passes; the runtime thresholds in ``tols``
+    (solver.velocity_threshold / position_threshold — scale-normalized)
+    gate without recompiling (0.0 never fires)."""
     n_cap = body_flat.shape[0] // 8
     r_cap = b1.shape[0]
     if c_cap is None:
@@ -648,7 +707,7 @@ def solve_contacts_streamed(
     n_blocks = r_cap // BLK
     c_blocks = c_cap // BLK
     kern = _streamed_kernel(vel_iters, pos_iters, n_blocks, n_cap, c_blocks,
-                            vel_tol)
+                            vel_gated, pos_gated)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -665,6 +724,8 @@ def solve_contacts_streamed(
 
     if num_joints is None:
         num_joints = jnp.int32(0)
+    if tols is None:
+        tols = jnp.zeros((2,), jnp.float32)
     nums = jnp.stack([num_contacts.astype(jnp.int32),
                       num_joints.astype(jnp.int32)])
 
@@ -678,14 +739,15 @@ def solve_contacts_streamed(
             jax.ShapeDtypeStruct((r_cap * 4,), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
-        in_specs=[smem, anyspec, anyspec, anyspec, anyspec, anyspec,
+        in_specs=[smem, smem, anyspec, anyspec, anyspec, anyspec, anyspec,
                   anyspec],
         out_specs=(anyspec, anyspec, smem),
-        input_output_aliases={5: 0, 6: 1},   # body + acc buffers reused
+        input_output_aliases={6: 0, 7: 1},   # body + acc buffers reused
         scratch_shapes=([pltpu.SMEM((n_cap * 8,), jnp.float32),
                          pltpu.SemaphoreType.DMA,
-                         pltpu.SMEM((1,), jnp.int32)]
+                         pltpu.SMEM((2,), jnp.int32),
+                         pltpu.SMEM((1,), jnp.float32)]
                         + bufset() + bufset()),
         interpret=_use_interpret(),
-    )(nums, b1, b2, con_flat, warm_flat, body_flat, acc_init)
+    )(nums, tols, b1, b2, con_flat, warm_flat, body_flat, acc_init)
     return body_out, acc, res

@@ -33,6 +33,7 @@ def snapshot(state: State) -> dict:
         "num_pairs": int(s.num_pairs),
         "num_contacts": int(s.num_contacts),
         "pair_overflow": int(s.pair_overflow),
+        "halo_overflow": int(s.halo_overflow),
         "max_penetration": float(s.max_penetration),
         "residual": float(s.residual),
         "momentum_x": float(momentum[0]),

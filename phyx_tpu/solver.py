@@ -21,7 +21,7 @@ backend (kernels/) must match it bit-for-bit up to reassociation.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,42 @@ from phyx_tpu import math2d as m2
 from phyx_tpu.config import SimConfig
 from phyx_tpu.narrowphase import Contacts
 from phyx_tpu.types import Bodies
+
+
+class XlaJoints(NamedTuple):
+    """User-joint rows for the XLA fallback backend (VERDICT r2 #3).
+
+    ``rows``/``warm`` come from joints.prepare_joint_rows (encodings in
+    joints.py); ``color`` from coloring.color_rows over the joint graph.
+    The sweeps process joint colors sequentially AFTER the contact colors
+    of each iteration (Gauss-Seidel across colors, conflict-free within —
+    the same convergence class as the serial Pallas order, not the same
+    order: parity with the Pallas backends is convergence-level, like the
+    tiled path)."""
+
+    rows: jax.Array    # (J, 12) f32
+    b1: jax.Array      # (J,) int32
+    b2: jax.Array      # (J,) int32
+    warm: jax.Array    # (J, 2) f32 warm-start impulse
+    color: jax.Array   # (J,) int32
+    valid: jax.Array   # (J,) bool
+
+
+def _joint_geom(j: XlaJoints):
+    """Decode per-kind row geometry: (is_rev, r1, r2, n)."""
+    is_rev = j.rows[:, 11] == 1.0
+    r1 = jnp.where(is_rev[:, None], j.rows[:, 0:2], j.rows[:, 2:4])
+    r2 = jnp.where(is_rev[:, None], j.rows[:, 2:4], j.rows[:, 4:6])
+    n = j.rows[:, 0:2]               # distance-joint axis (rev: unused)
+    return is_rev, r1, r2, n
+
+
+def _joint_apply(vel, angvel, j: XlaJoints, r1, r2, im1, ii1, im2, ii2, p):
+    vel = vel.at[j.b1].add(-p * im1[:, None])
+    angvel = angvel.at[j.b1].add(-ii1 * m2.cross(r1, p))
+    vel = vel.at[j.b2].add(p * im2[:, None])
+    angvel = angvel.at[j.b2].add(ii2 * m2.cross(r2, p))
+    return vel, angvel
 
 
 def prepare(bodies: Bodies, contacts: Contacts, cfg: SimConfig,
@@ -127,8 +163,13 @@ def _apply(vel, angvel, c: Contacts, im1, ii1, im2, ii2, impulse):
     return vel, angvel
 
 
-def warm_start(bodies: Bodies, contacts: Contacts) -> Bodies:
-    """Apply cached accumulated impulses before iterating (SURVEY.md §3.2)."""
+def warm_start(bodies: Bodies, contacts: Contacts,
+               joints: Optional[XlaJoints] = None) -> Bodies:
+    """Apply cached accumulated impulses before iterating (SURVEY.md §3.2).
+
+    With ``joints``, joint warm impulses apply after the contacts (the
+    Pallas kernels' order): revolute re-applies the 2D impulse directly,
+    distance re-applies its scalar along the current axis."""
     c = contacts
     n = c.normal
     t = m2.perp(n)
@@ -137,22 +178,72 @@ def warm_start(bodies: Bodies, contacts: Contacts) -> Bodies:
     im1, im2 = bodies.inv_mass[c.b1], bodies.inv_mass[c.b2]
     ii1, ii2 = bodies.inv_inertia[c.b1], bodies.inv_inertia[c.b2]
     vel, angvel = _apply(bodies.vel, bodies.angvel, c, im1, ii1, im2, ii2, imp)
+    if joints is not None:
+        j = joints
+        is_rev, r1, r2, jn = _joint_geom(j)
+        p = jnp.where(is_rev[:, None], j.warm, jn * j.warm[:, 0:1])
+        p = jnp.where(j.valid[:, None], p, 0.0)
+        jim1, jim2 = bodies.inv_mass[j.b1], bodies.inv_mass[j.b2]
+        jii1, jii2 = bodies.inv_inertia[j.b1], bodies.inv_inertia[j.b2]
+        vel, angvel = _joint_apply(vel, angvel, j, r1, r2,
+                                   jim1, jii1, jim2, jii2, p)
     return bodies.replace(vel=vel, angvel=angvel)
 
 
-def solve_velocity(bodies: Bodies, contacts: Contacts, cfg: SimConfig
-                   ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array]:
+def impulse_scale(contacts: Contacts,
+                  joint_warm: Optional[jax.Array] = None) -> jax.Array:
+    """Scene impulse scale for the normalized residual gates: the max
+    |warm-start impulse| of the frame (contacts AND user joints) — the
+    previous frame's converged impulse magnitude.  Zero on cold starts,
+    which disables the relative gates for that frame (safe)."""
+    s = jnp.max(jnp.abs(jnp.where(contacts.valid, contacts.warm_n, 0.0)))
+    s = jnp.maximum(s, jnp.max(jnp.abs(
+        jnp.where(contacts.valid, contacts.warm_t, 0.0))))
+    if joint_warm is not None and joint_warm.shape[0]:
+        s = jnp.maximum(s, jnp.max(jnp.abs(joint_warm)))
+    return s
+
+
+def velocity_threshold(cfg: SimConfig, contacts: Contacts,
+                       joint_warm: Optional[jax.Array] = None) -> jax.Array:
+    """Runtime velocity-gate threshold: max(velocity_tol,
+    velocity_rel_tol * impulse_scale).  () f32; 0 when both knobs off."""
+    t = jnp.float32(cfg.velocity_tol)
+    if cfg.velocity_rel_tol > 0.0:
+        t = jnp.maximum(t, cfg.velocity_rel_tol
+                        * impulse_scale(contacts, joint_warm))
+    return t
+
+
+def position_threshold(cfg: SimConfig, contacts: Contacts,
+                       joint_warm: Optional[jax.Array] = None) -> jax.Array:
+    """Runtime displacement-gate threshold (position_rel_tol * scale)."""
+    if cfg.position_rel_tol <= 0.0:
+        return jnp.float32(0.0)
+    return cfg.position_rel_tol * impulse_scale(contacts, joint_warm)
+
+
+def solve_velocity(bodies: Bodies, contacts: Contacts, cfg: SimConfig,
+                   joints: Optional[XlaJoints] = None):
     """Velocity ("impulses") iterations — hot loop #1 (SURVEY.md §3.3).
 
     Returns (bodies', accum_n, accum_t, residual) where residual is the max
     absolute impulse delta of the LAST iteration (the convergence metric of
-    BASELINE.json:5).
+    BASELINE.json:5).  With ``joints``, joint colors sweep after the
+    contact colors of every iteration and a fifth element — the (J, 2)
+    joint velocity accumulator — is appended to the return tuple.
     """
     c = contacts
     n = c.normal
     t = m2.perp(n)
     im1, im2 = bodies.inv_mass[c.b1], bodies.inv_mass[c.b2]
     ii1, ii2 = bodies.inv_inertia[c.b1], bodies.inv_inertia[c.b2]
+    if joints is not None:
+        j = joints
+        is_rev, jr1, jr2, jn = _joint_geom(j)
+        jim1, jim2 = bodies.inv_mass[j.b1], bodies.inv_mass[j.b2]
+        jii1, jii2 = bodies.inv_inertia[j.b1], bodies.inv_inertia[j.b2]
+        m00, m01, m11 = j.rows[:, 4], j.rows[:, 5], j.rows[:, 6]
 
     def rel_vel(vel, angvel):
         pv1 = vel[c.b1] + m2.cross_sv(angvel[c.b1], c.r1)
@@ -160,7 +251,7 @@ def solve_velocity(bodies: Bodies, contacts: Contacts, cfg: SimConfig
         return pv2 - pv1
 
     def color_sweep(col, carry):
-        vel, angvel, an, at, res = carry
+        vel, angvel, an, at, jan, res = carry
         mask = c.valid & (c.color == col)
         # one relative-velocity evaluation; the post-normal tangent
         # velocity follows exactly from the precomputed coupling c_nt
@@ -185,27 +276,63 @@ def solve_velocity(bodies: Bodies, contacts: Contacts, cfg: SimConfig
         vel, angvel = _apply(vel, angvel, c, im1, ii1, im2, ii2,
                              n * dn[:, None] + t * dt[:, None])
         res = jnp.maximum(res, jnp.max(jnp.abs(dt)))
-        return vel, angvel, an, at, res
+        return vel, angvel, an, at, jan, res
+
+    def joint_color_sweep(col, carry):
+        vel, angvel, an, at, jan, res = carry
+        mask = j.valid & (j.color == col)
+        pv1 = vel[j.b1] + m2.cross_sv(angvel[j.b1], jr1)
+        pv2 = vel[j.b2] + m2.cross_sv(angvel[j.b2], jr2)
+        dv = pv2 - pv1
+        # revolute: p = -(M @ dv); distance: p = -(m * n.dv) * n
+        px_r = -(m00 * dv[:, 0] + m01 * dv[:, 1])
+        py_r = -(m01 * dv[:, 0] + m11 * dv[:, 1])
+        dd = -m11 * m2.dot(jn, dv)
+        p = jnp.where(is_rev[:, None],
+                      jnp.stack([px_r, py_r], axis=1), jn * dd[:, None])
+        p = jnp.where(mask[:, None], p, 0.0)
+        jan = jan + jnp.where(is_rev[:, None], p,
+                              jnp.stack([jnp.where(mask, dd, 0.0),
+                                         jnp.zeros_like(dd)], axis=1))
+        vel, angvel = _joint_apply(vel, angvel, j, jr1, jr2,
+                                   jim1, jii1, jim2, jii2, p)
+        res = jnp.maximum(res, jnp.max(jnp.abs(p)))
+        return vel, angvel, an, at, jan, res
 
     def iteration(it, carry):
         def run(carry):
-            vel, angvel, an, at, _ = carry
+            vel, angvel, an, at, jan, _ = carry
             # reset residual: the reported value is the last EXECUTED one's
-            carry = (vel, angvel, an, at, jnp.float32(0.0))
-            return jax.lax.fori_loop(0, cfg.num_colors, color_sweep, carry)
+            carry = (vel, angvel, an, at, jan, jnp.float32(0.0))
+            carry = jax.lax.fori_loop(0, cfg.num_colors, color_sweep, carry)
+            if joints is not None:
+                carry = jax.lax.fori_loop(0, cfg.num_colors,
+                                          joint_color_sweep, carry)
+            return carry
 
-        if cfg.velocity_tol <= 0.0:
+        if cfg.velocity_tol <= 0.0 and cfg.velocity_rel_tol <= 0.0:
             return run(carry)
-        # residual-gated early exit (cfg.velocity_tol): the first
-        # iteration always runs (res starts at +inf sentinel via it == 0)
-        converged = (it > 0) & (carry[4] < cfg.velocity_tol)
+        # residual-gated early exit: absolute (velocity_tol) and/or
+        # scale-normalized (velocity_rel_tol * max warm impulse) — the
+        # first iteration always runs (it == 0)
+        converged = (it > 0) & (carry[5] < vthresh)
         return jax.lax.cond(converged, lambda c: c, run, carry)
 
+    vthresh = velocity_threshold(cfg, contacts,
+                                 joints.warm if joints is not None else None)
+
+    jan0 = (joints.warm * jnp.stack(
+        [jnp.ones_like(joints.warm[:, 0]),
+         (joints.rows[:, 11] == 1.0).astype(jnp.float32)], axis=1)
+        if joints is not None else jnp.zeros((0, 2), jnp.float32))
     init = (bodies.vel, bodies.angvel, contacts.warm_n, contacts.warm_t,
-            jnp.float32(0.0))
-    vel, angvel, an, at, res = jax.lax.fori_loop(
+            jan0, jnp.float32(0.0))
+    vel, angvel, an, at, jan, res = jax.lax.fori_loop(
         0, cfg.velocity_iterations, iteration, init)
-    return bodies.replace(vel=vel, angvel=angvel), an, at, res
+    out = bodies.replace(vel=vel, angvel=angvel)
+    if joints is not None:
+        return out, an, at, res, jan
+    return out, an, at, res
 
 
 def pallas_smem_bytes(n_bodies_cap: int, n_contact_cap: int) -> int:
@@ -294,19 +421,31 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
     # skip the per-visit index multiply (every pass, every kernel).
     b1 = b1 * 8
     b2 = b2 * 8
+
+    # Residual gates: static compile flags (which gates exist) + runtime
+    # thresholds (scale-normalized per frame — no recompilation).
+    vel_gated = cfg.velocity_tol > 0.0 or cfg.velocity_rel_tol > 0.0
+    pos_gated = cfg.position_rel_tol > 0.0
+    tols = None
+    if vel_gated or pos_gated:
+        jw = joint_warm if j_cap else None
+        tols = jnp.stack([velocity_threshold(cfg, contacts, jw),
+                          position_threshold(cfg, contacts, jw)])
     if streamed:
         from phyx_tpu.kernels.contact_solver_streamed import \
             solve_contacts_streamed
         body_out, acc, res = solve_contacts_streamed(
             body_flat, b1, b2, con_flat, warm_flat,
             num_contacts, cfg.velocity_iterations, cfg.position_iterations,
-            num_joints=num_joints, c_cap=c, vel_tol=cfg.velocity_tol)
+            num_joints=num_joints, c_cap=c, vel_gated=vel_gated,
+            pos_gated=pos_gated, tols=tols)
         acc = acc.reshape(c + j_cap + j_pad, 4)
     else:
         body_out, acc, res = solve_contacts_fused(
             body_flat, b1, b2, con_flat, warm_flat,
             num_contacts, cfg.velocity_iterations, cfg.position_iterations,
-            num_joints=num_joints, j_cap=j_cap, vel_tol=cfg.velocity_tol)
+            num_joints=num_joints, j_cap=j_cap, vel_gated=vel_gated,
+            pos_gated=pos_gated, tols=tols)
         acc = acc.reshape(c + j_cap, 4)
 
     body_out = body_out.reshape(n, 8)
@@ -529,21 +668,31 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     return bodies, accum_n, accum_t, res[0], tiled_overflow, joint_accum
 
 
-def solve_position(bodies: Bodies, contacts: Contacts, cfg: SimConfig
-                   ) -> Bodies:
+def solve_position(bodies: Bodies, contacts: Contacts, cfg: SimConfig,
+                   joints: Optional[XlaJoints] = None) -> Bodies:
     """Displacement iterations on pseudo-velocities — hot loop #2.
 
     Split-impulse: resolves penetration without injecting kinetic energy;
     results land in bodies.dvel / bodies.dangvel, consumed once by position
-    integration (step.py) and then zeroed.
+    integration (step.py) and then zeroed.  With ``joints``, joint colors
+    (anchor-error targets from prepare_joint_rows) sweep after the contact
+    colors of every iteration.
     """
     c = contacts
     n = c.normal
     im1, im2 = bodies.inv_mass[c.b1], bodies.inv_mass[c.b2]
     ii1, ii2 = bodies.inv_inertia[c.b1], bodies.inv_inertia[c.b2]
+    if joints is not None:
+        j = joints
+        is_rev, jr1, jr2, jn = _joint_geom(j)
+        jim1, jim2 = bodies.inv_mass[j.b1], bodies.inv_mass[j.b2]
+        jii1, jii2 = bodies.inv_inertia[j.b1], bodies.inv_inertia[j.b2]
+        m00, m01, m11 = j.rows[:, 4], j.rows[:, 5], j.rows[:, 6]
+
+    gated = cfg.position_rel_tol > 0.0
 
     def color_sweep(col, carry):
-        dvel, dang, ad = carry
+        dvel, dang, ad, res = carry
         mask = c.valid & (c.color == col)
         pv1 = dvel[c.b1] + m2.cross_sv(dang[c.b1], c.r1)
         pv2 = dvel[c.b2] + m2.cross_sv(dang[c.b2], c.r2)
@@ -553,13 +702,54 @@ def solve_position(bodies: Bodies, contacts: Contacts, cfg: SimConfig
         d = jnp.where(mask, new_ad - ad, 0.0)
         ad = ad + d
         dvel, dang = _apply(dvel, dang, c, im1, ii1, im2, ii2, n * d[:, None])
-        return dvel, dang, ad
+        if gated:
+            res = jnp.maximum(res, jnp.max(jnp.abs(d)))
+        return dvel, dang, ad, res
 
-    def iteration(_, carry):
-        return jax.lax.fori_loop(0, cfg.num_colors, color_sweep, carry)
+    def joint_color_sweep(col, carry):
+        dvel, dang, ad, res = carry
+        mask = j.valid & (j.color == col)
+        pv1 = dvel[j.b1] + m2.cross_sv(dang[j.b1], jr1)
+        pv2 = dvel[j.b2] + m2.cross_sv(dang[j.b2], jr2)
+        dv = pv2 - pv1
+        # revolute target (dstx, dsty); distance target scalar along n
+        ex = j.rows[:, 7] - dv[:, 0]
+        ey = j.rows[:, 8] - dv[:, 1]
+        px_r = m00 * ex + m01 * ey
+        py_r = m01 * ex + m11 * ey
+        dd = m11 * (j.rows[:, 7] - m2.dot(jn, dv))
+        p = jnp.where(is_rev[:, None],
+                      jnp.stack([px_r, py_r], axis=1), jn * dd[:, None])
+        p = jnp.where(mask[:, None], p, 0.0)
+        dvel, dang = _joint_apply(dvel, dang, j, jr1, jr2,
+                                  jim1, jii1, jim2, jii2, p)
+        if gated:
+            res = jnp.maximum(res, jnp.max(jnp.abs(p)))
+        return dvel, dang, ad, res
+
+    def run(carry):
+        dvel, dang, ad, _ = carry
+        carry = (dvel, dang, ad, jnp.float32(0.0))
+        carry = jax.lax.fori_loop(0, cfg.num_colors, color_sweep, carry)
+        if joints is not None:
+            carry = jax.lax.fori_loop(0, cfg.num_colors,
+                                      joint_color_sweep, carry)
+        return carry
+
+    if gated:
+        pthresh = position_threshold(
+            cfg, contacts, joints.warm if joints is not None else None)
+
+        def iteration(it, carry):
+            converged = (it > 0) & (carry[3] < pthresh)
+            return jax.lax.cond(converged, lambda x: x, run, carry)
+    else:
+        def iteration(it, carry):
+            return run(carry)
 
     zeros_ad = jnp.zeros_like(contacts.warm_n)
-    dvel, dang, _ = jax.lax.fori_loop(
+    dvel, dang, _, _ = jax.lax.fori_loop(
         0, cfg.position_iterations, iteration,
-        (jnp.zeros_like(bodies.vel), jnp.zeros_like(bodies.angvel), zeros_ad))
+        (jnp.zeros_like(bodies.vel), jnp.zeros_like(bodies.angvel),
+         zeros_ad, jnp.float32(0.0)))
     return bodies.replace(dvel=dvel, dangvel=dang)

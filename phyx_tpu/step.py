@@ -93,12 +93,49 @@ def step(state: State, cfg: SimConfig) -> State:
 
     contacts = solver.prepare(bodies, contacts, cfg, pair_props=pair_props)
 
+    joint_rows, joint_warm = prepare_joint_stage(bodies, state.joints, cfg)
+    (bodies, accum_n, accum_t, residual, joints_out,
+     pairs) = solve_stage(bodies, contacts, pairs, state.joints,
+                          joint_rows, joint_warm, cfg)
+    bodies = integrate_positions(bodies, cfg)
+
+    cache = build_cache(contacts, pairs, accum_n, accum_t)
+    stats = SolverStats(
+        num_pairs=pairs.num,
+        num_contacts=contacts.valid.sum(dtype=jnp.int32),
+        pair_overflow=pairs.overflow,
+        max_penetration=jnp.max(
+            jnp.where(contacts.valid, contacts.penetration, 0.0)),
+        residual=residual,
+        halo_overflow=state.stats.halo_overflow,  # set by spatial sharding
+    )
+    return State(bodies=bodies, joints=joints_out, cache=cache, stats=stats)
+
+
+def prepare_joint_stage(bodies: Bodies, joints, cfg: SimConfig):
+    """User-joint row prepare (joints.prepare_joint_rows) — a distinct
+    profiling stage; (None, None) for jointless scenes."""
+    if joints.capacity == 0:
+        return None, None
+    from phyx_tpu.joints import prepare_joint_rows
+    return prepare_joint_rows(bodies, joints, cfg)
+
+
+def solve_stage(bodies: Bodies, contacts, pairs, joints,
+                joint_rows, joint_warm, cfg: SimConfig):
+    """Constraint solve: backend selection + compaction + velocity/position
+    passes.  Shared verbatim by step() and profiling.profile_step so the
+    profiled solve IS the shipped solve.
+
+    Returns (bodies', accum_n, accum_t, residual, joints_out, pairs') —
+    pairs' carries any tiled slab overflow added into pairs.overflow.
+    """
     # Backend selection (static, by capacity): all-SMEM fused kernel when
     # everything fits; HBM-streamed kernel when only the body state fits;
     # colored XLA sweeps as the last-resort correctness fallback.
     from phyx_tpu.kernels.contact_solver_streamed import BLK as _BLK
     c_cap = contacts.valid.shape[0]
-    j_cap = state.joints.capacity
+    j_cap = joints.capacity
     use_pallas = cfg.solver_backend == "pallas"
     streamed = False
     tiled = False
@@ -115,20 +152,9 @@ def step(state: State, cfg: SimConfig) -> State:
             tiled = True
         else:
             use_pallas = False
-    if j_cap and not use_pallas:
-        raise NotImplementedError(
-            "user joints require a Pallas solver (fused, streamed or "
-            "tiled): set solver_backend='pallas' with max_pairs a "
-            "1024-multiple >= 2048")
-
-    joints_out = state.joints
+    joints_out = joints
     if use_pallas:
         # fused kernel: exact serial Gauss-Seidel order, no coloring needed
-        joint_rows = joint_warm = None
-        if j_cap:
-            from phyx_tpu.joints import prepare_joint_rows
-            joint_rows, joint_warm = prepare_joint_rows(
-                bodies, state.joints, cfg)
         if tiled:
             # No pre-compaction: the tiled path re-sorts rows into slabs
             # itself (stable, dead rows last) and returns accumulators in
@@ -141,7 +167,7 @@ def step(state: State, cfg: SimConfig) -> State:
             (bodies, accum_n, accum_t, residual, tiled_ovf,
              joint_accum) = solver.solve_pallas_tiled(
                 bodies, contacts, xorder, cfg,
-                joints=state.joints if j_cap else None,
+                joints=joints if j_cap else None,
                 joint_rows=joint_rows, joint_warm=joint_warm)
             pairs = pairs.replace(overflow=pairs.overflow + tiled_ovf)
         else:
@@ -184,33 +210,44 @@ def step(state: State, cfg: SimConfig) -> State:
             (bodies, accum_n, accum_t, residual,
              joint_accum) = solver.solve_pallas(
                 bodies, compacted, num_live, cfg, streamed=streamed,
-                joints=state.joints if j_cap else None,
+                joints=joints if j_cap else None,
                 joint_rows=joint_rows, joint_warm=joint_warm)
             back = jnp.zeros((order.shape[0], 2), jnp.float32).at[order].set(
                 jnp.stack([accum_n, accum_t], axis=1))
             accum_n = back[:, 0]
             accum_t = back[:, 1]
         if j_cap:
-            joints_out = state.joints.replace(accum=joint_accum)
+            joints_out = joints.replace(accum=joint_accum)
     else:
+        # Pure-XLA fallback (SURVEY.md §7.6): colored Gauss-Seidel sweeps.
+        # User joints (VERDICT r2 #3) are colored like contacts and swept
+        # after them each iteration — convergence-level parity with the
+        # serial Pallas order; also the vmap/sharded-env path for jointed
+        # scenes (the SMEM kernels don't auto-batch).
         body_static = (bodies.inv_mass == 0.0) & (bodies.inv_inertia == 0.0)
         contacts = color_contacts(contacts, body_static, cfg)
-        bodies = solver.warm_start(bodies, contacts)
-        bodies, accum_n, accum_t, residual = solver.solve_velocity(
-            bodies, contacts, cfg)
-        bodies = solver.solve_position(bodies, contacts, cfg)
-    bodies = integrate_positions(bodies, cfg)
-
-    cache = build_cache(contacts, pairs, accum_n, accum_t)
-    stats = SolverStats(
-        num_pairs=pairs.num,
-        num_contacts=contacts.valid.sum(dtype=jnp.int32),
-        pair_overflow=pairs.overflow,
-        max_penetration=jnp.max(
-            jnp.where(contacts.valid, contacts.penetration, 0.0)),
-        residual=residual,
-    )
-    return State(bodies=bodies, joints=joints_out, cache=cache, stats=stats)
+        xj = None
+        if j_cap:
+            from phyx_tpu.coloring import color_rows
+            jvalid = joints.kind != 0
+            nb = jnp.int32(bodies.capacity - 1)
+            jb1 = jnp.minimum(joints.b1, nb)
+            jb2 = jnp.minimum(joints.b2, nb)
+            jcolor = color_rows(jb1, jb2, jvalid, body_static,
+                                cfg.num_colors)
+            xj = solver.XlaJoints(rows=joint_rows, b1=jb1, b2=jb2,
+                                  warm=joint_warm, color=jcolor,
+                                  valid=jvalid)
+        bodies = solver.warm_start(bodies, contacts, xj)
+        if xj is not None:
+            (bodies, accum_n, accum_t, residual,
+             joint_accum) = solver.solve_velocity(bodies, contacts, cfg, xj)
+            joints_out = joints.replace(accum=joint_accum)
+        else:
+            bodies, accum_n, accum_t, residual = solver.solve_velocity(
+                bodies, contacts, cfg)
+        bodies = solver.solve_position(bodies, contacts, cfg, xj)
+    return bodies, accum_n, accum_t, residual, joints_out, pairs
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n"))

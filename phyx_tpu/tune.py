@@ -85,6 +85,66 @@ def tune_config(state: State, cfg: SimConfig, margin: float = 1.5,
     )
 
 
+def rollout_autotuned(state: State, cfg: SimConfig, num_steps: int,
+                      chunk: int = 10, margin: float = 1.5,
+                      pair_margin: float = 1.6, on_retune=None):
+    """Chunked, self-sizing rollout (round 3, VERDICT r2 #5).
+
+    Runs ``chunk`` frames per device dispatch (rule: 100k-scale programs
+    must stay under ~10 steps per dispatch or the remote worker dies);
+    after each chunk a single scalar fetch reads the overflow counters.
+    On ANY overflow (pair budget / sweep window / hit slots — all feed
+    ``stats.pair_overflow`` — or spatial ``halo_overflow``) the budgets
+    are re-derived from the CURRENT state via ``tune_config`` and the
+    pair cache re-capacitied via ``resize``; the rollout continues with
+    the new config (a new jit shape: one compile per distinct config,
+    then cached).  If overflow persists with unchanged suggestions, the
+    measurement margins escalate 1.5x per consecutive stuck chunk.
+
+    Physics during an overflowing chunk ran with dropped pairs (that is
+    what the counter means) — the autotuner bounds the damage to one
+    chunk and sizes the NEXT chunks correctly, which is exactly the
+    reference engine's resize-on-demand behavior (SURVEY.md §7 hard
+    part #1) expressed in static-shape terms.
+
+    Returns ``(state, cfg)`` — the final config may be larger than the
+    input.  ``on_retune(old_cfg, new_cfg, frames_done)`` is called on
+    every applied retune (bench.py logs it)."""
+    from phyx_tpu.step import rollout
+
+    done = 0
+    stuck = 0
+    while done < num_steps:
+        n = min(chunk, num_steps - done)
+        state = rollout(state, cfg, n)
+        done += n
+        ovf = int(np.asarray(state.stats.pair_overflow))
+        hovf = int(np.asarray(state.stats.halo_overflow))
+        if ovf == 0 and hovf == 0:
+            stuck = 0
+            continue
+        esc = 1.5 ** stuck
+        cfg2 = tune_config(state, cfg, margin=margin * esc,
+                           pair_margin=pair_margin * esc)
+        # never shrink mid-rollout: overflow means "bigger", and shrink
+        # thrash would recompile every other chunk
+        cfg2 = dataclasses.replace(
+            cfg2,
+            sap_window=max(cfg2.sap_window, cfg.sap_window),
+            sap_hits=max(cfg2.sap_hits, cfg.sap_hits),
+            max_pairs=max(cfg2.max_pairs, cfg.max_pairs),
+        )
+        if cfg2 == cfg:
+            stuck += 1
+            continue
+        if on_retune is not None:
+            on_retune(cfg, cfg2, done)
+        state = resize(state, cfg2)
+        cfg = cfg2
+        stuck = 0
+    return state, cfg
+
+
 def resize(state: State, cfg: SimConfig) -> State:
     """Re-capacity ``state``'s pair cache to ``cfg.max_pairs``.
 

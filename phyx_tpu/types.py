@@ -127,12 +127,16 @@ class SolverStats:
     pair_overflow: jax.Array      # () int32 pairs dropped (budget exceeded)
     max_penetration: jax.Array    # () f32
     residual: jax.Array           # () f32 final velocity-pass max impulse delta
+    # () int32: bodies whose x-interval could reach a neighbor shard's
+    # UNEXPORTED bodies in spatial sharding (parallel/spatial.py) — the
+    # halo-budget analog of pair_overflow.  Always 0 single-device.
+    halo_overflow: jax.Array
 
     @staticmethod
     def zeros() -> "SolverStats":
         z32 = jnp.zeros((), jnp.int32)
         zf = jnp.zeros((), jnp.float32)
-        return SolverStats(z32, z32, z32, zf, zf)
+        return SolverStats(z32, z32, z32, zf, zf, z32)
 
 
 @_pytree_dataclass

@@ -97,3 +97,28 @@ def test_uneven_envs_per_device():
     solo = step(envs[3], CFG)
     np.testing.assert_allclose(np.asarray(out.bodies.pos[3]),
                                np.asarray(solo.bodies.pos), atol=1e-5, rtol=0)
+
+
+def test_sharded_jointed_envs_match_unsharded():
+    """Jointed scenes scale out over the env mesh (VERDICT r2 #3
+    knock-on): sharded vmap chains equal solo stepping."""
+    import jax.numpy as jnp
+
+    cfg = SimConfig(max_bodies=32, max_pairs=256, max_joints=16,
+                    broadphase="n2", solver_backend="xla")
+    mesh = _mesh(4)
+    envs = [scenes.chain(cfg, 4).build() for _ in range(4)]
+    envs = [st.replace(bodies=st.bodies.replace(
+        pos=st.bodies.pos + jnp.float32(0.01 * e)))
+        for e, st in enumerate(envs)]
+    batch = make_env_batch(envs, mesh=mesh)
+    vstep = sharded_env_step(cfg, mesh)
+    for _ in range(20):
+        batch = vstep(batch)
+    got = np.asarray(batch.bodies.pos)
+    for e, st in enumerate(envs):
+        for _ in range(20):
+            st = step(st, cfg)
+        np.testing.assert_allclose(got[e], np.asarray(st.bodies.pos),
+                                   atol=1e-5, rtol=0,
+                                   err_msg=f"jointed env {e} diverged")

@@ -63,3 +63,25 @@ def test_suggest_pair_budget_floor():
     st = scenes.pile(cfg, 20, seed=0).build()   # no stats yet: floor path
     b = suggest_pair_budget(st)
     assert b >= 512 and b % 512 == 0
+
+
+def test_rollout_autotuned_recovers_from_overflow():
+    """An undersized pair budget overflows; the chunked autotuner grows
+    it from the measured state and the rest of the rollout is clean
+    (VERDICT r2 #5: no silent physics loss, no hand-passed budgets)."""
+    from phyx_tpu.tune import rollout_autotuned
+
+    cfg = SimConfig(max_bodies=64, max_pairs=32, broadphase="n2",
+                    solver_backend="xla")
+    st = scenes.pile(cfg, 40, seed=0).build()
+    retunes = []
+    st, cfg2 = rollout_autotuned(
+        st, cfg, 60, chunk=10,
+        on_retune=lambda a, b, done: retunes.append((done, b.max_pairs)))
+    assert retunes, "overflow never triggered a retune"
+    assert cfg2.max_pairs > cfg.max_pairs
+    assert int(st.stats.pair_overflow) == 0
+    assert np.isfinite(np.asarray(st.bodies.pos)).all()
+    # stable afterwards: another chunk stays clean with the tuned config
+    st = rollout(st, cfg2, 10)
+    assert int(st.stats.pair_overflow) == 0
