@@ -59,10 +59,15 @@ def _finish(pi, pj, valid, overflow, max_pairs):
     """Compact candidate (pi, pj, valid) of any shape into a lex-sorted
     fixed buffer of size max_pairs.
 
-    For small candidate grids a lex sort of the whole grid suffices; big
-    grids (window * 100k bodies) first compact the valid entries with a
-    size-bounded nonzero (cumsum + gather), then sort only max_pairs
-    entries — the full-grid sort would dominate the step at 100k."""
+    One full-grid 2-key lex sort (EMPTY keys last) + a static slice.
+    The earlier big-grid path compacted with a size-bounded
+    ``jnp.nonzero`` first and sorted only max_pairs rows; fenced
+    micro-benches (2026-08-17, /tmp-level records in BASELINE.md) showed
+    the nonzero (a full-grid cumsum + serialized gather on this chip)
+    costs MORE than sorting the whole grid: 2.85 ms vs 1.18 ms at the
+    10k-bench shape (139k grid / 32k pairs), 42.8 ms vs 7.7 ms at the
+    100k-avalanche shape (2.1M grid / 819k pairs).  XLA's TPU sort is
+    the one primitive here that is not row-serialized."""
     pi = pi.reshape(-1).astype(jnp.int32)
     pj = pj.reshape(-1).astype(jnp.int32)
     valid = valid.reshape(-1)
@@ -71,19 +76,13 @@ def _finish(pi, pj, valid, overflow, max_pairs):
     pj = jnp.where(valid, pj, EMPTY)
     num = valid.sum(dtype=jnp.int32)
 
-    if pi.shape[0] > 4 * max_pairs:
-        (idx,) = jnp.nonzero(valid, size=max_pairs, fill_value=pi.shape[0] - 1)
-        cand_i = jnp.where(jnp.arange(max_pairs) < num, pi[idx], EMPTY)
-        cand_j = jnp.where(jnp.arange(max_pairs) < num, pj[idx], EMPTY)
-        pi_out, pj_out = jax.lax.sort((cand_i, cand_j), num_keys=2)
-    else:
-        pi_s, pj_s = jax.lax.sort((pi, pj), num_keys=2)
-        pi_out = jax.lax.dynamic_slice_in_dim(pi_s, 0, max_pairs) \
-            if pi_s.shape[0] >= max_pairs else jnp.pad(
-                pi_s, (0, max_pairs - pi_s.shape[0]), constant_values=EMPTY)
-        pj_out = jax.lax.dynamic_slice_in_dim(pj_s, 0, max_pairs) \
-            if pj_s.shape[0] >= max_pairs else jnp.pad(
-                pj_s, (0, max_pairs - pj_s.shape[0]), constant_values=EMPTY)
+    pi_s, pj_s = jax.lax.sort((pi, pj), num_keys=2)
+    pi_out = jax.lax.dynamic_slice_in_dim(pi_s, 0, max_pairs) \
+        if pi_s.shape[0] >= max_pairs else jnp.pad(
+            pi_s, (0, max_pairs - pi_s.shape[0]), constant_values=EMPTY)
+    pj_out = jax.lax.dynamic_slice_in_dim(pj_s, 0, max_pairs) \
+        if pj_s.shape[0] >= max_pairs else jnp.pad(
+            pj_s, (0, max_pairs - pj_s.shape[0]), constant_values=EMPTY)
     dropped = jnp.maximum(num - max_pairs, 0)
     return Pairs(
         pi=pi_out,
@@ -225,8 +224,13 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
         with contiguous dynamic-slice loads (no gathers).  The carry holds
         per-body hit counts and up to ``sap_hits`` hit positions, updated
         with pure selects.
-      phase 2: one id-conversion gather of the n*sap_hits candidates plus
-        the usual lex-sort compaction (_finish).
+      phase 2: the usual lex-sort compaction (_finish) — no id
+        conversion needed: offset d's target body id ``order[k + d + 1]``
+        is a CONTIGUOUS SLICE of ``order``, so the scan stores real body
+        ids (not sorted positions) for free.  (The previous form carried
+        positions and paid a 65k-element serialized gather to convert the
+        survivors; the slice form deletes it — fenced 2026-08-17,
+        ~0.5 ms at the 10k bench shape.)
 
     Hits beyond sap_hits and windows still x-open at offset w are counted
     as overflow, like every other variant.  Pure XLA: vmaps and shards
@@ -260,11 +264,12 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
     yhi_p = jnp.pad(shi[:, 1], (0, w + 1), constant_values=-INF)
     act_p = jnp.pad(sact, (0, w + 1), constant_values=False)
     dyn_p = jnp.pad(sdyn, (0, w + 1), constant_values=False)
+    # target body ids arrive as contiguous slices of the sort permutation
+    order_p = jnp.pad(order, (0, w + 1), constant_values=-1)
 
     src_hix = shi[:, 0]
     src_loy = slo[:, 1]
     src_hiy = shi[:, 1]
-    kpos = jnp.arange(n, dtype=jnp.int32)
 
     def step_d(carry, d):
         count, tgt = carry
@@ -272,9 +277,9 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
         ok = ((sl(xlo_p) <= src_hix) & (sl(ylo_p) <= src_hiy)
               & (src_loy <= sl(yhi_p)) & sact & sl(act_p)
               & (sdyn | sl(dyn_p)))
-        jpos = kpos + (d + 1)
+        jid = sl(order_p)                    # body id of the d+1 neighbor
         tgt = tuple(
-            jnp.where(ok & (count == h), jpos, tgt[h]) for h in range(H))
+            jnp.where(ok & (count == h), jid, tgt[h]) for h in range(H))
         return (count + ok.astype(jnp.int32), tgt), None
 
     count0 = jnp.zeros((n,), jnp.int32)
@@ -289,40 +294,11 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
                  & jax.lax.dynamic_slice_in_dim(act_p, w + 1, n))
     missed = open_last.sum(dtype=jnp.int32)
 
-    tgt_m = jnp.stack(tgt)                       # (H, n) positions or -1
+    tgt_m = jnp.stack(tgt)                       # (H, n) body ids or -1
     valid = tgt_m >= 0
-    max_pairs = cfg.max_pairs
-    n_sweep = H * n
-    if n_sweep + d_valid.size > 4 * max_pairs:
-        # Defer the sorted-position -> body-id conversion until AFTER the
-        # nonzero compaction: converting the full (H, n) grid costs an
-        # n*H-element gather (~10 ns/elem, serialized on TPU), while only
-        # max_pairs slots survive.  The merged candidate buffer holds
-        # sweep-lane rows as SORTED POSITIONS and dense-lane rows as ids;
-        # idx < n_sweep tells them apart after compaction.
-        src_pos = jnp.broadcast_to(kpos[None, :], (H, n))
-        ci = jnp.concatenate([src_pos.reshape(-1), d_pi.reshape(-1)])
-        cj = jnp.concatenate([tgt_m.reshape(-1), d_pj.reshape(-1)])
-        vv = jnp.concatenate([valid.reshape(-1), d_valid.reshape(-1)])
-        num = vv.sum(dtype=jnp.int32)
-        (idx,) = jnp.nonzero(vv, size=max_pairs, fill_value=vv.shape[0] - 1)
-        live = jnp.arange(max_pairs, dtype=jnp.int32) < num
-        cand = jnp.stack([ci, cj], axis=1)[idx]  # one (max_pairs, 2) gather
-        ids = order[jnp.clip(cand, 0, n - 1)]    # (max_pairs, 2)
-        cand = jnp.where((idx < n_sweep)[:, None], ids, cand)
-        a = jnp.where(live, jnp.minimum(cand[:, 0], cand[:, 1]), EMPTY)
-        b = jnp.where(live, jnp.maximum(cand[:, 0], cand[:, 1]), EMPTY)
-        pi_s, pj_s = jax.lax.sort((a, b), num_keys=2)
-        dropped2 = jnp.maximum(num - max_pairs, 0)
-        return Pairs(pi=pi_s, pj=pj_s, valid=pi_s != EMPTY,
-                     num=jnp.minimum(num, max_pairs),
-                     overflow=(missed + dropped + dropped2).astype(jnp.int32))
-
-    # small scenes: convert ids eagerly and lex-sort the whole grid
-    tgt_id = order[jnp.clip(tgt_m.reshape(-1), 0, n - 1)].reshape(H, n)
     src_id = jnp.broadcast_to(order[None, :], (H, n))
-    pi = jnp.minimum(src_id, tgt_id)
-    pj = jnp.maximum(src_id, tgt_id)
+    pi = jnp.minimum(src_id, tgt_m)
+    pj = jnp.maximum(src_id, tgt_m)
 
     pi = jnp.concatenate([pi.reshape(-1), d_pi.reshape(-1)])
     pj = jnp.concatenate([pj.reshape(-1), d_pj.reshape(-1)])
