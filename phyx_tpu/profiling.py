@@ -67,7 +67,8 @@ def _prefix_step(st: State, k, depth: int, cfg: SimConfig,
     if depth >= 1:
         pairs = broadphase(bodies, cfg)
         if has_joints:
-            pairs = exclude_joint_pairs(pairs, st.joints)
+            pairs = exclude_joint_pairs(pairs, st.joints,
+                                        n_cap=cfg.max_bodies)
         fb += (pairs.num % 3).astype(jnp.float32) * 1e-9
     if depth >= 2:
         contacts, pair_props = narrowphase_with_props(bodies, pairs, cfg)

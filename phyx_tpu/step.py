@@ -57,11 +57,19 @@ def integrate_positions(bodies: Bodies, cfg: SimConfig) -> Bodies:
     return bodies.replace(pos=pos, rot=rot, dvel=zero2, dangvel=zero1)
 
 
-def exclude_joint_pairs(pairs, joints):
+def exclude_joint_pairs(pairs, joints, n_cap=None):
     """Drop candidate pairs whose bodies are connected by a user joint
     (collide-connected = false, matching standard engine semantics): the
-    contact constraints would fight the joint and jitter the chain."""
-    from phyx_tpu.broadphase import EMPTY, Pairs
+    contact constraints would fight the joint and jitter the chain.
+
+    ``n_cap`` (body capacity) enables the packed single-key pair sort
+    (broadphase.lex_sort_pairs); None falls back to the two-key sort."""
+    from phyx_tpu.broadphase import EMPTY, Pairs, lex_sort_pairs
+
+    def _sort(a, b):
+        return (lex_sort_pairs(a, b, n_cap) if n_cap is not None
+                else jax.lax.sort((a, b), num_keys=2))
+
     from phyx_tpu.cache import lex_join
 
     ja = jnp.minimum(joints.b1, joints.b2)
@@ -69,11 +77,11 @@ def exclude_joint_pairs(pairs, joints):
     live = joints.kind != 0
     ja = jnp.where(live, ja, EMPTY)
     jb = jnp.where(live, jb, EMPTY)
-    ja, jb = jax.lax.sort((ja, jb), num_keys=2)
+    ja, jb = _sort(ja, jb)
     _, hit = lex_join(ja, jb, pairs.pi, pairs.pj)
     pi = jnp.where(hit, EMPTY, pairs.pi)
     pj = jnp.where(hit, EMPTY, pairs.pj)
-    pi, pj = jax.lax.sort((pi, pj), num_keys=2)
+    pi, pj = _sort(pi, pj)
     return Pairs(pi=pi, pj=pj, valid=pi != EMPTY,
                  num=pairs.num - hit.sum(dtype=jnp.int32),
                  overflow=pairs.overflow)
@@ -86,7 +94,8 @@ def step(state: State, cfg: SimConfig) -> State:
 
     pairs = broadphase(bodies, cfg)
     if state.joints.capacity:
-        pairs = exclude_joint_pairs(pairs, state.joints)
+        pairs = exclude_joint_pairs(pairs, state.joints,
+                                    n_cap=cfg.max_bodies)
     # one gather serves both SAT geometry and solver-prepare properties
     contacts, pair_props = narrowphase_with_props(bodies, pairs, cfg)
     contacts = warm_start_from_cache(contacts, pairs, state.cache)

@@ -271,3 +271,29 @@ def test_sap_grid_vmaps():
                for i, j in zip(np.asarray(vpairs.pi[e]),
                                np.asarray(vpairs.pj[e])) if i != EMPTY}
         assert got == solo, f"env {e} vmap pair set diverged"
+
+
+def test_lex_sort_pairs_bit_identical_to_two_key():
+    """Packed single-key pair sort (round 3) == two-key lex sort, both
+    branches: packed (cap <= 2^15) and the 2-key fallback (cap > 2^15)."""
+    import jax
+
+    from phyx_tpu.broadphase import lex_sort_pairs
+
+    rng = np.random.default_rng(7)
+    for cap in [8, 1024, 16384, 32768, 65536, 1 << 20]:
+        n = 4096
+        a = rng.integers(0, cap, n).astype(np.int32)
+        b = rng.integers(0, cap, n).astype(np.int32)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        valid = rng.random(n) < 0.6
+        lo = np.where(valid, lo, EMPTY)
+        hi = np.where(valid, hi, EMPTY)
+        # duplicates too: the key pack must keep equal rows equal
+        lo[1] = lo[0]
+        hi[1] = hi[0]
+        ref_a, ref_b = jax.lax.sort((jnp.array(lo), jnp.array(hi)),
+                                    num_keys=2)
+        got_a, got_b = lex_sort_pairs(jnp.array(lo), jnp.array(hi), cap)
+        assert (np.asarray(got_a) == np.asarray(ref_a)).all()
+        assert (np.asarray(got_b) == np.asarray(ref_b)).all()
