@@ -48,7 +48,7 @@ def lex_searchsorted(ka: jax.Array, kb: jax.Array,
 
 
 def lex_join(ka: jax.Array, kb: jax.Array,
-             qa: jax.Array, qb: jax.Array):
+             qa: jax.Array, qb: jax.Array, n_cap: int | None = None):
     """Sort-merge join of two lex-sorted two-column key tables.
 
     Returns ``(idx, hit)`` per query: the row of (ka, kb) holding the same
@@ -56,15 +56,55 @@ def lex_join(ka: jax.Array, kb: jax.Array,
     keys never match.  Costs two lex sorts of (P+Q) rows — measured ~6x
     cheaper on TPU than the per-query binary search (lex_searchsorted),
     whose serialized row gathers dominate (9.3 ms vs ~1.5 ms at 40k+40k).
+
+    ``n_cap`` (max key value bound, i.e. body capacity) enables key
+    packing (round 3): the TPU sort's cost scales with the number of key
+    columns, so (a, b, tag) packs into ONE int32 key when
+    ``2*bits + 1 <= 31`` (10k/20k capacities) and (b, tag) into one
+    column otherwise; the routing sort's (tag, pay) always packs.  The
+    final (idx, hit) is unchanged: the packing is strictly monotone on
+    valid rows, EMPTY rows all land at int32-max where their mutual
+    order is irrelevant (the routing sort orders them totally by
+    (tag, pay) anyway, and ``hit`` guards on a_s != EMPTY).
     """
     p = ka.shape[0]
     q = qa.shape[0]
     a = jnp.concatenate([ka, qa])
     b = jnp.concatenate([kb, qb])
+    # single payload (tag << pbits) | pay: carries the true source tag
+    # through every branch AND is the routing-sort key verbatim — unique
+    # by construction ((tag, pay) is unique), so the routing order is the
+    # exact (tag, pay) lex order of the unpacked form
+    pbits = max(1, int(max(p, q) - 1).bit_length())
     tag = jnp.concatenate([jnp.zeros(p, jnp.int32), jnp.ones(q, jnp.int32)])
     pay = jnp.concatenate([jnp.arange(p, dtype=jnp.int32),
                            jnp.arange(q, dtype=jnp.int32)])
-    a_s, b_s, tag_s, pay_s = jax.lax.sort((a, b, tag, pay), num_keys=3)
+    pay2 = (tag << pbits) | pay
+    bits = max(1, int(n_cap - 1).bit_length()) if n_cap else 99
+    empty = a == EMPTY
+    if 2 * bits + 1 <= 31:
+        # (a, b, tag) -> one key; EMPTY rows to the top sentinel (their
+        # mutual order is irrelevant: hit_here guards on a_s != EMPTY and
+        # the routing key below orders them totally)
+        key = jnp.where(empty, jnp.int32(EMPTY),
+                        (((a << bits) | b) << 1) | tag)
+        key_s, pay2_s = jax.lax.sort((key, pay2), num_keys=1)
+        e = key_s == jnp.int32(EMPTY)
+        a_s = jnp.where(e, EMPTY, key_s >> (bits + 1))
+        b_s = jnp.where(e, EMPTY,
+                        (key_s >> 1) & jnp.int32((1 << bits) - 1))
+    elif bits + 1 <= 31:
+        # (b, tag) -> one column: the 3-key sort becomes 2-key (100k+,
+        # mega-scene).  EMPTY rows sentinel both columns; among equal
+        # (a=EMPTY, bt=EMPTY) rows order is irrelevant as above.
+        bt = jnp.where(empty, jnp.int32(EMPTY), (b << 1) | tag)
+        a_s, bt_s, pay2_s = jax.lax.sort((a, bt, pay2), num_keys=2)
+        e = a_s == EMPTY
+        b_s = jnp.where(e, EMPTY, bt_s >> 1)
+    else:
+        a_s, b_s, _, pay2_s = jax.lax.sort((a, b, tag, pay2), num_keys=3)
+    tag_s = pay2_s >> pbits
+    pay_s = pay2_s & jnp.int32((1 << pbits) - 1)
     # a query's matching table row (if any) sorts immediately before it
     hit_here = ((tag_s == 1)
                 & (jnp.roll(tag_s, 1) == 0)
@@ -73,16 +113,17 @@ def lex_join(ka: jax.Array, kb: jax.Array,
                 & (a_s != EMPTY))
     idx_here = jnp.roll(pay_s, 1)
     # route per-query results back to query order: tag-0 rows first, then
-    # tag-1 rows sorted by their query index
-    _, _, hit_q, idx_q = jax.lax.sort(
-        (tag_s, pay_s, hit_here.astype(jnp.int32), idx_here), num_keys=2)
+    # tag-1 rows by query index — pay2 IS that key, already one column
+    _, hit_q, idx_q = jax.lax.sort(
+        (pay2_s, hit_here.astype(jnp.int32), idx_here), num_keys=1)
     hit = hit_q[p:].astype(bool)
     idx = jnp.where(hit, idx_q[p:], 0)
     return idx, hit
 
 
 def warm_start_from_cache(contacts: Contacts, pairs: Pairs,
-                          cache: ContactCache) -> Contacts:
+                          cache: ContactCache,
+                          n_cap: int | None = None) -> Contacts:
     """Fill contacts.warm_n / warm_t from the previous frame's cache.
 
     Contact ``2p+k`` belongs to pair-slot ``p``; we look the pair up in the
@@ -90,7 +131,8 @@ def warm_start_from_cache(contacts: Contacts, pairs: Pairs,
     cached feature ids of that pair.
     """
     P = pairs.pi.shape[0]
-    posc, hit = lex_join(cache.pi, cache.pj, pairs.pi, pairs.pj)
+    posc, hit = lex_join(cache.pi, cache.pj, pairs.pi, pairs.pj,
+                         n_cap=n_cap)
 
     # cached per-pair data, per pair-slot — ONE packed row gather (row
     # gathers are row-serialized on TPU).  fid rides along VALUE-converted

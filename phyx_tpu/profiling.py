@@ -75,7 +75,8 @@ def _prefix_step(st: State, k, depth: int, cfg: SimConfig,
         fb += jnp.sum(contacts.penetration) * 1e-12
         fb += jnp.sum(pair_props[0][:, 3]) * 1e-12   # keep the props live
     if depth >= 3:
-        contacts = warm_start_from_cache(contacts, pairs, st.cache)
+        contacts = warm_start_from_cache(contacts, pairs, st.cache,
+                                         n_cap=cfg.max_bodies)
         fb += jnp.sum(contacts.warm_n) * 1e-12
     if depth >= 4:
         contacts = solver.prepare(bodies, contacts, cfg,

@@ -78,7 +78,7 @@ def exclude_joint_pairs(pairs, joints, n_cap=None):
     ja = jnp.where(live, ja, EMPTY)
     jb = jnp.where(live, jb, EMPTY)
     ja, jb = _sort(ja, jb)
-    _, hit = lex_join(ja, jb, pairs.pi, pairs.pj)
+    _, hit = lex_join(ja, jb, pairs.pi, pairs.pj, n_cap=n_cap)
     pi = jnp.where(hit, EMPTY, pairs.pi)
     pj = jnp.where(hit, EMPTY, pairs.pj)
     pi, pj = _sort(pi, pj)
@@ -98,7 +98,8 @@ def step(state: State, cfg: SimConfig) -> State:
                                     n_cap=cfg.max_bodies)
     # one gather serves both SAT geometry and solver-prepare properties
     contacts, pair_props = narrowphase_with_props(bodies, pairs, cfg)
-    contacts = warm_start_from_cache(contacts, pairs, state.cache)
+    contacts = warm_start_from_cache(contacts, pairs, state.cache,
+                                     n_cap=cfg.max_bodies)
 
     contacts = solver.prepare(bodies, contacts, cfg, pair_props=pair_props)
 
