@@ -2,7 +2,7 @@
 
 RECORD (2026-08-17): the "candidate" below measured 2.16 -> 0.64 ms net
 and SHIPPED as step.py's packed compaction (one (C, 16) gather + one
-scatter un-permute, ids astype'd not bitcast — see CLAUDE.md rule 7a);
+scatter un-permute, ids astype'd not bitcast — see CLAUDE.md rule 9a);
 this bench documents the decision and re-measures both schemes.
 
 The pre-packing step.py compacted live contacts to the front with
@@ -67,7 +67,7 @@ def packed_scheme(valid, f2, f1, ids):
 
     Ids ride the f32 pack VALUE-converted with astype (exact below 2^24),
     matching the shipped step.py pack — NOT bitcast: TPU canonicalizes odd
-    f32 bit patterns in data movement (CLAUDE.md rule 7a), and ids
+    f32 bit patterns in data movement (CLAUDE.md rule 9a), and ids
     0..16384 are denormal bit patterns under a bitcast."""
     order = jnp.argsort(jnp.logical_not(valid))
     pack = jnp.concatenate(
