@@ -47,6 +47,17 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str):
     from phyx_tpu.parallel.envs import concat_envs
     total = num_envs * (boxes_per_env + 1) + 8
     cap = max(1024, -(-total // 1024) * 1024)
+    # a 256-box pile is ~23 columns (~24 units) wide: ground_half 30 and
+    # band_width 80 leave cross-band gaps; piles are ~15 tall -> y 400
+    y_bands = 8 if num_envs >= 64 else 1
+    x_count = -(-num_envs // y_bands)
+    # banded sweep keys (round 3): each y-band of envs sweeps in its own
+    # x region — without this the tiled sweep's forward scan walks the
+    # interleaved bodies of all y_bands at every x (they fail the y test
+    # but cost the visit).  span must exceed the grid's x extent.
+    span = 1.0
+    while span < x_count * 80.0 + 256.0:
+        span *= 2.0
     cfg = SimConfig(
         max_bodies=cap,
         max_pairs=max(1024,
@@ -55,10 +66,10 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str):
         broadphase="sap",
         sap_window=96,
         solver_backend=backend,
+        sweep_band_h=400.0 if y_bands > 1 else 0.0,
+        sweep_band_y0=-200.0,
+        sweep_band_span=span if y_bands > 1 else 0.0,
     )
-    # a 256-box pile is ~23 columns (~24 units) wide: ground_half 30 and
-    # band_width 80 leave cross-band gaps; piles are ~15 tall -> y 400
-    y_bands = 8 if num_envs >= 64 else 1
     builders = [scenes.pile(cfg, boxes_per_env, seed=s, ground_half=30.0)
                 for s in range(num_envs)]
     mega, _, _ = concat_envs(builders, cfg, band_width=80.0,

@@ -55,6 +55,31 @@ def compute_aabbs(bodies: Bodies):
     return bodies.pos - e, bodies.pos + e
 
 
+def banded_x(lo, hi, active, cfg: SimConfig):
+    """Banded sweep x-keys (config.sweep_band_h, mega-scene band grids).
+
+    Returns ``(swx_lo, swx_hi, n_cross)``: per-body sweep interval ends
+    with each y-band offset into its own x region, and the count of
+    active bodies whose own AABB crosses a band boundary (pairs touching
+    such a body can be silently missed by a banded sweep, so the caller
+    adds ``n_cross`` to the pair-overflow counter — no silent loss).
+    The hi end is inflated by span * 2**-18, which bounds the f32
+    rounding of ``x + bucket * span`` for <= 31 bands: within a band the
+    candidate set can only grow (extra candidates die in narrowphase).
+    With sweep_band_h == 0 this is the identity (and n_cross == 0)."""
+    if cfg.sweep_band_h <= 0.0:
+        return lo[:, 0], hi[:, 0], jnp.int32(0)
+    inv_h = jnp.float32(1.0 / cfg.sweep_band_h)
+    y0 = jnp.float32(cfg.sweep_band_y0)
+    b_lo = jnp.floor((lo[:, 1] - y0) * inv_h)
+    b_hi = jnp.floor((hi[:, 1] - y0) * inv_h)
+    n_cross = (active & (b_lo != b_hi)).sum(dtype=jnp.int32)
+    span = jnp.float32(cfg.sweep_band_span)
+    off = b_lo * span
+    pad = span * jnp.float32(2.0 ** -18)
+    return lo[:, 0] + off, hi[:, 0] + off + pad, n_cross
+
+
 def lex_sort_pairs(pi, pj, n_cap: int):
     """Lex-sort id columns ``(pi, pj)`` with EMPTY rows last.
 
@@ -386,7 +411,10 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
 
     # --- tiled sweep over the regular bodies in x-sorted position space ---
     sweep_act = bodies.active & ~is_long
-    keys = jnp.where(sweep_act, lo[:, 0], jnp.float32(jnp.inf))
+    # banded keys (sweep_band_h > 0): each y-band sweeps in its own x
+    # region — band-boundary crossers are counted into overflow below
+    swx_lo, swx_hi, n_cross = banded_x(lo, hi, sweep_act, cfg)
+    keys = jnp.where(sweep_act, swx_lo, jnp.float32(jnp.inf))
     order = jnp.argsort(keys).astype(jnp.int32)
     nact = sweep_act.sum(dtype=jnp.int32)
 
@@ -397,7 +425,9 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     pad_iota = jnp.arange(npad, dtype=jnp.int32)
     srcp = order[jnp.clip(pad_iota, 0, n - 1)]
     in_n = pad_iota < n
-    aabb_rows = jnp.stack([lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1]], axis=1)
+    # x columns carry the (possibly banded) sweep intervals; y columns
+    # stay TRUE y (the kernel's y-overlap test is exact either way)
+    aabb_rows = jnp.stack([swx_lo, lo[:, 1], swx_hi, hi[:, 1]], axis=1)
     aabb_sorted = jnp.where(in_n[:, None], aabb_rows[srcp],
                             jnp.float32(jnp.inf)).reshape(-1)
     dyn_sorted = jnp.where(in_n, dynamic[srcp].astype(jnp.int32), 0)
@@ -405,6 +435,7 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     mp = -(-cfg.max_pairs // 1024) * 1024
     ppi, ppj, num_k, ovf = sweep_emit_tiled(
         aabb_sorted, dyn_sorted, nact, mp, n_slabs, K, W)
+    ovf = ovf + n_cross
     slot = jnp.arange(mp, dtype=jnp.int32)
     live = slot < num_k
     # positions -> body ids
@@ -467,6 +498,8 @@ def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
         return broadphase_sap_kernel(bodies, cfg)
     if cfg.broadphase == "sap_grid":
         return broadphase_sap_grid(bodies, cfg)
+    if cfg.broadphase == "sap_tiled":
+        return broadphase_sap_tiled(bodies, cfg)
     if cfg.broadphase == "sap_window":
         return broadphase_sap(bodies, cfg)
     if cfg.solver_backend == "pallas":

@@ -61,6 +61,8 @@ class SimConfig:
     # "sap_kernel" : force the Pallas emission kernel
     # "sap_grid"   : force the scanned-window XLA sweep (vector tests +
     #                per-body hit slots; no serial emission, vmap/shard-safe)
+    # "sap_tiled"  : force the tiled Pallas sweep (slab AABB windows;
+    #                the 100k+/mega-scene auto choice)
     broadphase: str = "sap"
     sap_window: int = 16            # forward neighbors examined per body
     # Per-body forward-hit slots for the sap_grid variant.  A settled pile
@@ -119,6 +121,26 @@ class SimConfig:
     velocity_rel_tol: float = 0.0
     position_rel_tol: float = 0.0
 
+    # --- banded sweep keys (mega-scene band grids; 0.0 = off) ---
+    # The band-grid mega-scene (parallel/envs.py concat_envs y_bands>1)
+    # interleaves the bodies of y-stacked envs in x-order, so the tiled
+    # sweep's forward x-scan visits ~y_bands times more candidates than
+    # one band holds (they fail the y test but cost the visit).  With
+    # sweep_band_h > 0 the sweep x-keys become
+    #   x' = x + floor((y - sweep_band_y0) / sweep_band_h) * sweep_band_span
+    # — each y-band gets its own x region, restoring band-local scan
+    # density.  The hi-x' interval end is inflated by span * 2^-18
+    # (covers the f32 rounding of the offset add for <= 31 bands) so the
+    # candidate set can only GROW within a band; pairs CROSSING a band
+    # boundary are never emitted — callers must guarantee none exist
+    # (concat_envs band grids do by construction).  Bodies whose own
+    # AABB crosses a bucket boundary are counted into pair overflow
+    # (no silent loss): size sweep_band_y0/h so nothing crosses.
+    # sweep_band_span must exceed the global x extent plus slack.
+    sweep_band_h: float = 0.0
+    sweep_band_y0: float = 0.0
+    sweep_band_span: float = 0.0
+
     # --- solver backend ---
     # "xla"    : pure-XLA gather/scatter sweeps (always available, the
     #            correctness fallback per SURVEY.md §7.6)
@@ -129,12 +151,14 @@ class SimConfig:
         if self.max_contacts < 2 * self.max_pairs:
             object.__setattr__(self, "max_contacts", 2 * self.max_pairs)
         if self.broadphase not in ("n2", "sap", "sap_window", "sap_kernel",
-                                   "sap_grid"):
+                                   "sap_grid", "sap_tiled"):
             raise ValueError(f"unknown broadphase {self.broadphase!r}")
         if self.solver_backend not in ("xla", "pallas"):
             raise ValueError(f"unknown solver_backend {self.solver_backend!r}")
         if self.tile_stride % 128 or self.tile_halo % 128:
             raise ValueError("tile_stride/tile_halo must be multiples of 128")
+        if self.sweep_band_h > 0.0 and self.sweep_band_span <= 0.0:
+            raise ValueError("sweep_band_h > 0 requires sweep_band_span")
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

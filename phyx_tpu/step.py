@@ -170,9 +170,14 @@ def solve_stage(bodies: Bodies, contacts, pairs, joints,
             # itself (stable, dead rows last) and returns accumulators in
             # the original contact order — compacting first would just add
             # a redundant full-buffer permute at 100k+ scale.
-            from phyx_tpu.broadphase import compute_aabbs
-            lo, _ = compute_aabbs(bodies)
-            xkeys = jnp.where(bodies.active, lo[:, 0], jnp.float32(jnp.inf))
+            from phyx_tpu.broadphase import banded_x, compute_aabbs
+            lo, hi = compute_aabbs(bodies)
+            # banded keys (band-grid mega-scenes) concentrate each env's
+            # contact partners into nearby ranks, shrinking slab-halo
+            # spreads; slab-window violations are clamped + counted by
+            # the solver either way (crossers counted by broadphase).
+            swx_lo, _, _ = banded_x(lo, hi, bodies.active, cfg)
+            xkeys = jnp.where(bodies.active, swx_lo, jnp.float32(jnp.inf))
             xorder = jnp.argsort(xkeys).astype(jnp.int32)
             (bodies, accum_n, accum_t, residual, tiled_ovf,
              joint_accum) = solver.solve_pallas_tiled(

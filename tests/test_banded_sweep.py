@@ -1,0 +1,126 @@
+"""Banded sweep keys (config.sweep_band_h) — pair-set and trajectory
+equivalence on a band-grid mega-scene (SURVEY §5.7 / config E layout).
+
+The banded tiled sweep must find exactly the contacts the plain sweep
+finds (candidate supersets within a band are allowed — narrowphase
+rejects them), must never pair across bands, and must count any
+band-boundary-crossing body into pair overflow instead of silently
+missing its pairs.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from phyx_tpu.broadphase import EMPTY, broadphase_sap_tiled, compute_aabbs
+from phyx_tpu.config import SimConfig
+from phyx_tpu.parallel.envs import concat_envs
+from phyx_tpu import scenes
+
+
+def _grid_state(cfg, n_envs=8, boxes=24, y_bands=4):
+    builders = [scenes.pile(cfg, boxes, seed=s, ground_half=8.0)
+                for s in range(n_envs)]
+    mega, _, _ = concat_envs(builders, cfg, band_width=40.0,
+                             y_bands=y_bands, band_height=120.0)
+    return mega.build()
+
+
+def _cfgs():
+    base = dict(max_bodies=1024, max_pairs=4096, broadphase="sap_tiled",
+                sap_long_k=4, solver_backend="xla")
+    plain = SimConfig(**base)
+    banded = SimConfig(**base, sweep_band_h=120.0, sweep_band_y0=-60.0,
+                       sweep_band_span=256.0)
+    return plain, banded
+
+
+def _true_overlaps(state):
+    lo, hi = map(np.asarray, compute_aabbs(state.bodies))
+    act = np.asarray(state.bodies.active)
+    dyn = np.asarray(state.bodies.inv_mass) > 0
+    out = set()
+    n = act.sum()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not (act[i] and act[j]) or not (dyn[i] or dyn[j]):
+                continue
+            if (lo[i, 0] <= hi[j, 0] and lo[j, 0] <= hi[i, 0]
+                    and lo[i, 1] <= hi[j, 1] and lo[j, 1] <= hi[i, 1]):
+                out.add((i, j))
+    return out
+
+
+def _sets(pairs):
+    pi, pj = np.asarray(pairs.pi), np.asarray(pairs.pj)
+    return {(int(a), int(b)) for a, b in zip(pi, pj) if a != EMPTY}
+
+
+def test_banded_tiled_sweep_finds_all_true_pairs():
+    plain, banded = _cfgs()
+    st = _grid_state(plain)
+    truth = _true_overlaps(st)
+    got_plain = _sets(broadphase_sap_tiled(st.bodies, plain))
+    got_banded = _sets(broadphase_sap_tiled(st.bodies, banded))
+    # every true overlap found by both; banded never invents cross-band
+    # pairs beyond AABB-test supersets of the plain form's candidates
+    assert truth <= got_plain
+    assert truth <= got_banded
+    # supersets come only from the x' rounding pad: tiny
+    assert len(got_banded - got_plain) <= len(truth) // 4 + 2
+    # no invented pair lacks y-band compatibility
+    ylo = np.asarray(compute_aabbs(st.bodies)[0])[:, 1]
+    for a, b in got_banded:
+        ba = np.floor((ylo[a] + 60.0) / 120.0)
+        bb = np.floor((ylo[b] + 60.0) / 120.0)
+        assert ba == bb, (a, b)
+
+
+def test_banded_trajectory_matches_plain():
+    """Full rollout parity: contacts (not just candidates) drive physics.
+
+    Pallas backend: BIT-exact — narrowphase emits contacts only at
+    separation <= 0, so the pad-induced extra candidates die there, and
+    the stable valid-first compaction preserves the sweep order of the
+    surviving contacts exactly.  XLA backend: convergence-level only
+    (coloring keys off pair-slot indices, which the extra candidate
+    slots shift — same contract as tiled-vs-fused parity)."""
+    from phyx_tpu.step import rollout
+
+    plain, banded = _cfgs()
+    st = _grid_state(plain)
+    act = np.asarray(st.bodies.active)
+
+    a = rollout(st, plain, 40)
+    b = rollout(st, banded, 40)
+    np.testing.assert_allclose(np.asarray(a.bodies.pos)[act],
+                               np.asarray(b.bodies.pos)[act], atol=5e-2)
+    assert int(b.stats.pair_overflow) == 0
+    assert not np.isnan(np.asarray(b.bodies.pos)).any()
+
+    pp = plain.replace(solver_backend="pallas")
+    bp = banded.replace(solver_backend="pallas")
+    ap = rollout(st, pp, 20)
+    bb = rollout(st, bp, 20)
+    assert (np.asarray(ap.bodies.pos)[act]
+            == np.asarray(bb.bodies.pos)[act]).all()
+    assert int(ap.stats.num_contacts) == int(bb.stats.num_contacts)
+    assert float(ap.stats.max_penetration) \
+        == float(bb.stats.max_penetration)
+
+
+def test_band_boundary_crosser_counted():
+    """A body whose AABB crosses a band boundary fires the overflow
+    counter (its pairs may be missed by the banded sweep — no silent
+    loss)."""
+    plain, banded = _cfgs()
+    st = _grid_state(plain)
+    # move one dynamic body onto a band boundary (y = -60 + k*120)
+    pos = np.asarray(st.bodies.pos).copy()
+    idx = int(np.argmax(np.asarray(st.bodies.inv_mass) > 0))
+    pos[idx] = (0.0, 60.0)     # half-extent ~0.5 straddles the y=60 line
+    st = st.replace(bodies=st.bodies.replace(pos=jnp.array(pos)))
+    got = broadphase_sap_tiled(st.bodies, banded)
+    assert int(got.overflow) >= 1
+    plain_got = broadphase_sap_tiled(st.bodies, plain)
+    assert int(plain_got.overflow) == 0
