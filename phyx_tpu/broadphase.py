@@ -300,12 +300,17 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
         bodies, lo, hi, dynamic, k_long)
 
     sweep_act = bodies.active & ~is_long
-    keys = jnp.where(sweep_act, lo[:, 0], jnp.float32(jnp.inf))
+    # banded keys (sweep_band_h > 0): x columns carry the banded sweep
+    # intervals, y columns stay true (the y test is exact either way);
+    # band-boundary crossers are counted into overflow below
+    swx_lo, swx_hi, n_cross = banded_x(lo, hi, sweep_act, cfg)
+    keys = jnp.where(sweep_act, swx_lo, jnp.float32(jnp.inf))
     order = jnp.argsort(keys).astype(jnp.int32)
     # Row gathers are row-serialized on TPU (~12 ns/row): permute ONE
     # packed (N, 6) matrix instead of four separate arrays.
     meta = jnp.concatenate([
-        lo, hi, sweep_act[:, None].astype(jnp.float32),
+        swx_lo[:, None], lo[:, 1:2], swx_hi[:, None], hi[:, 1:2],
+        sweep_act[:, None].astype(jnp.float32),
         dynamic[:, None].astype(jnp.float32)], axis=1)[order]
     slo = meta[:, 0:2]
     shi = meta[:, 2:4]
@@ -357,7 +362,7 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
     pi = jnp.concatenate([pi.reshape(-1), d_pi.reshape(-1)])
     pj = jnp.concatenate([pj.reshape(-1), d_pj.reshape(-1)])
     vv = jnp.concatenate([valid.reshape(-1), d_valid.reshape(-1)])
-    return _finish(pi, pj, vv, missed + dropped, cfg.max_pairs,
+    return _finish(pi, pj, vv, missed + dropped + n_cross, cfg.max_pairs,
                    n_cap=bodies.capacity)
 
 

@@ -109,6 +109,31 @@ def test_banded_trajectory_matches_plain():
         == float(bb.stats.max_penetration)
 
 
+def test_banded_sap_grid_finds_all_true_pairs():
+    """Banding also applies to the scanned-window XLA grid (the vmap- and
+    shard-safe variant): same completeness + cross-band-impossible
+    guarantees as the tiled form."""
+    from phyx_tpu.broadphase import broadphase_sap_grid
+
+    plain, banded = _cfgs()
+    # a ground (half-extent 8) overlaps ~24 boxes and the plain sweep
+    # walks all 4 interleaved y-bands: budget window/hits for that
+    plain = plain.replace(broadphase="sap_grid", sap_window=192,
+                          sap_hits=48)
+    banded = banded.replace(broadphase="sap_grid", sap_window=192,
+                            sap_hits=48)
+    st = _grid_state(plain)
+    truth = _true_overlaps(st)
+    got_plain = _sets(broadphase_sap_grid(st.bodies, plain))
+    got_banded = _sets(broadphase_sap_grid(st.bodies, banded))
+    assert truth <= got_plain
+    assert truth <= got_banded
+    ylo = np.asarray(compute_aabbs(st.bodies)[0])[:, 1]
+    for a, b in got_banded:
+        assert np.floor((ylo[a] + 60.0) / 120.0) \
+            == np.floor((ylo[b] + 60.0) / 120.0), (a, b)
+
+
 def test_band_boundary_crosser_counted():
     """A body whose AABB crosses a band boundary fires the overflow
     counter (its pairs may be missed by the banded sweep — no silent
