@@ -36,7 +36,8 @@ from phyx_tpu.step import rollout
 NORTH_STAR_STEPS_PER_SEC = 1000.0
 
 
-def build_envs(num_envs: int, boxes_per_env: int, backend: str):
+def build_envs(num_envs: int, boxes_per_env: int, backend: str,
+               band: bool = True):
     """Config E (BASELINE.json:11): independent scenes as one block-diagonal
     mega-scene (parallel/envs.py).
 
@@ -66,9 +67,9 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str):
         broadphase="sap",
         sap_window=96,
         solver_backend=backend,
-        sweep_band_h=400.0 if y_bands > 1 else 0.0,
+        sweep_band_h=400.0 if (band and y_bands > 1) else 0.0,
         sweep_band_y0=-200.0,
-        sweep_band_span=span if y_bands > 1 else 0.0,
+        sweep_band_span=span if (band and y_bands > 1) else 0.0,
     )
     builders = [scenes.pile(cfg, boxes_per_env, seed=s, ground_half=30.0)
                 for s in range(num_envs)]
@@ -161,12 +162,16 @@ def main():
                     help="settle via tune.rollout_autotuned: budgets "
                          "(window/hits/pairs) self-size on overflow — no "
                          "hand-passed --sap-window needed")
+    ap.add_argument("--no-band", action="store_true",
+                    help="disable banded sweep keys for --scene envs "
+                         "(ablation; banding is the measured default)")
     ap.add_argument("--envs", type=int, default=64,
                     help="env count for --scene envs (boxes = per-env size)")
     args = ap.parse_args()
 
     if args.scene == "envs":
-        cfg, st = build_envs(args.envs, args.boxes, args.backend)
+        cfg, st = build_envs(args.envs, args.boxes, args.backend,
+                             band=not args.no_band)
     else:
         cfg, st = build(args.scene, args.boxes, args.backend,
                         args.broadphase, args.sap_window, args.sap_hits,

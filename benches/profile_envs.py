@@ -39,13 +39,15 @@ def main():
     ap.add_argument("--settle", type=int, default=240)
     ap.add_argument("--chunk", type=int, default=2)
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--no-band", action="store_true")
     args = ap.parse_args()
 
     from bench import build_envs
     from phyx_tpu.profiling import profile_step
     from phyx_tpu.step import rollout
 
-    cfg, st = build_envs(args.envs, args.boxes, "pallas")
+    cfg, st = build_envs(args.envs, args.boxes, "pallas",
+                         band=not args.no_band)
     print(f"# built {args.envs} x {args.boxes}: cap {cfg.max_bodies} "
           f"max_pairs {cfg.max_pairs}", file=sys.stderr)
 
