@@ -143,7 +143,7 @@ def main():
     # steps/s for the Pallas emission kernel, overflow 0, 2026-08-16)
     ap.add_argument("--broadphase", default="sap_grid",
                     choices=["sap", "sap_kernel", "sap_grid", "sap_window",
-                             "n2"])
+                             "sap_tiled", "n2"])
     ap.add_argument("--sap-window", type=int, default=192)
     ap.add_argument("--sap-hits", type=int, default=8)
     ap.add_argument("--pairs-per-box", type=float, default=0.0,
