@@ -66,6 +66,11 @@ def lex_join(ka: jax.Array, kb: jax.Array,
     valid rows, EMPTY rows all land at int32-max where their mutual
     order is irrelevant (the routing sort orders them totally by
     (tag, pay) anyway, and ``hit`` guards on a_s != EMPTY).
+
+    Precondition (all call sites satisfy it): valid rows are canonical
+    pairs with ``a < b < n_cap`` — in particular a == b == n_cap-1 is
+    impossible, which keeps the fully-packed key strictly below the
+    EMPTY sentinel at bits == 15 (the 20k capacity).
     """
     p = ka.shape[0]
     q = qa.shape[0]
