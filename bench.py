@@ -162,12 +162,19 @@ def main():
                     help="settle via tune.rollout_autotuned: budgets "
                          "(window/hits/pairs) self-size on overflow — no "
                          "hand-passed --sap-window needed")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (smoke tests only; numbers "
+                         "are TPU-only). Env-var pins are consumed by the "
+                         "sitecustomize — this uses jax.config.update.")
     ap.add_argument("--no-band", action="store_true",
                     help="disable banded sweep keys for --scene envs "
                          "(ablation; banding is the measured default)")
     ap.add_argument("--envs", type=int, default=64,
                     help="env count for --scene envs (boxes = per-env size)")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if args.scene == "envs":
         cfg, st = build_envs(args.envs, args.boxes, args.backend,

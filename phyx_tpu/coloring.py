@@ -24,11 +24,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from phyx_tpu.config import SimConfig
 from phyx_tpu.narrowphase import Contacts
 
-BIG = jnp.int32(2**31 - 1)
+# numpy, not jnp: a module-level jnp scalar would initialize the
+# device backend at IMPORT time (hangs when the TPU worker is
+# down, and defeats late jax_platforms pins — CLAUDE.md rule 7)
+BIG = np.int32(2**31 - 1)
 
 
 def color_rows(row_b1: jax.Array, row_b2: jax.Array, valid: jax.Array,
