@@ -175,6 +175,32 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Fail LOUDLY if the TPU worker is unreachable (2026-08-17: the
+        # axon PJRT init blocks forever inside make_c_api_client when the
+        # pool grants no chip — a silent multi-hour hang otherwise).
+        # Probe in a subprocess (the blocked C call cannot be interrupted
+        # in-process); three 10-min attempts before giving up.
+        import subprocess
+        import sys
+        for attempt in range(3):
+            try:
+                subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    timeout=600, check=True, capture_output=True)
+                break
+            except (subprocess.TimeoutExpired,
+                    subprocess.CalledProcessError) as e:
+                print(f"# backend probe {attempt + 1}/3 failed: "
+                      f"{type(e).__name__}", file=sys.stderr)
+        else:
+            print(json.dumps({
+                "metric": "steps/sec @ 10000-box pile",
+                "value": 0.0, "unit": "steps/sec", "vs_baseline": 0.0,
+                "error": "TPU backend unavailable: PJRT init blocked/"
+                         "failed for 3x600s (worker down — see CLAUDE.md "
+                         "rule 8); no measurement possible"}))
+            sys.exit(2)
 
     if args.scene == "envs":
         cfg, st = build_envs(args.envs, args.boxes, args.backend,
