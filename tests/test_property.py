@@ -169,3 +169,67 @@ def test_checked_rollout_catches_midstream_overflow():
     st_ = scenes.pile(cfg, 12, seed=0).build()
     with pytest.raises(Exception, match="overflow"):
         checked_rollout(st_, cfg, 30)
+
+
+# --- round-3 key-packing primitives -------------------------------------
+
+_CAPS = st.sampled_from([8, 1024, 16384, 32768, 65536, 1 << 20])
+
+
+@given(cap=_CAPS, seed=st.integers(0, 2**16))
+@settings(**SETTLE)
+def test_prop_lex_sort_pairs_matches_two_key(cap, seed):
+    import jax
+
+    from phyx_tpu.broadphase import EMPTY, lex_sort_pairs
+
+    rng = np.random.default_rng(seed)
+    n = 512
+    a = rng.integers(0, cap, n).astype(np.int32)
+    b = rng.integers(0, cap, n).astype(np.int32)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    valid = rng.random(n) < rng.random()
+    lo = np.where(valid, lo, EMPTY)
+    hi = np.where(valid, hi, EMPTY)
+    ra, rb = jax.lax.sort((jnp.array(lo), jnp.array(hi)), num_keys=2)
+    ga, gb = lex_sort_pairs(jnp.array(lo), jnp.array(hi), cap)
+    assert (np.asarray(ga) == np.asarray(ra)).all()
+    assert (np.asarray(gb) == np.asarray(rb)).all()
+
+
+@given(cap=_CAPS, seed=st.integers(0, 2**16))
+@settings(**SETTLE)
+def test_prop_lex_join_packed_matches_unpacked(cap, seed):
+    from phyx_tpu.broadphase import EMPTY
+    from phyx_tpu.cache import lex_join
+
+    rng = np.random.default_rng(seed)
+
+    def keys(n, frac):
+        a = rng.integers(0, cap, n).astype(np.int32)
+        b = rng.integers(0, cap, n).astype(np.int32)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        same = lo == hi
+        lo = np.where(same, EMPTY, lo)      # enforce a < b precondition
+        hi = np.where(same, EMPTY, hi)
+        emp = rng.random(n) < frac
+        lo = np.where(emp, EMPTY, lo)
+        hi = np.where(emp, EMPTY, hi)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        keep = np.ones(n, bool)
+        keep[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        lo = np.where(keep, lo, EMPTY)
+        hi = np.where(keep, hi, EMPTY)
+        order = np.lexsort((hi, lo))
+        return lo[order], hi[order]
+
+    ka, kb = keys(256, 0.3)
+    qa, qb = keys(300, 0.4)
+    idx_u, hit_u = lex_join(jnp.array(ka), jnp.array(kb),
+                            jnp.array(qa), jnp.array(qb), n_cap=None)
+    idx_p, hit_p = lex_join(jnp.array(ka), jnp.array(kb),
+                            jnp.array(qa), jnp.array(qb), n_cap=cap)
+    assert (np.asarray(hit_p) == np.asarray(hit_u)).all()
+    h = np.asarray(hit_u)
+    assert (np.asarray(idx_p)[h] == np.asarray(idx_u)[h]).all()
