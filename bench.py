@@ -37,7 +37,8 @@ NORTH_STAR_STEPS_PER_SEC = 1000.0
 
 
 def build_envs(num_envs: int, boxes_per_env: int, backend: str,
-               band: bool = True):
+               band: bool = True, broadphase: str = "sap",
+               sap_window: int = 96):
     """Config E (BASELINE.json:11): independent scenes as one block-diagonal
     mega-scene (parallel/envs.py).
 
@@ -64,8 +65,8 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str,
         max_pairs=max(1024,
                       (int(num_envs * boxes_per_env * 3.2) + 511)
                       // 512 * 512),
-        broadphase="sap",
-        sap_window=96,
+        broadphase=broadphase,
+        sap_window=sap_window,
         solver_backend=backend,
         sweep_band_h=400.0 if (band and y_bands > 1) else 0.0,
         sweep_band_y0=-200.0,
@@ -140,8 +141,10 @@ def main():
     ap.add_argument("--backend", default="pallas",
                     choices=["xla", "pallas"])
     # sap_grid @ window 192 measured fastest at 10k (14.28 vs 13.29
-    # steps/s for the Pallas emission kernel, overflow 0, 2026-08-16)
-    ap.add_argument("--broadphase", default="sap_grid",
+    # steps/s for the Pallas emission kernel, overflow 0, 2026-08-16).
+    # Default None = per-scene choice: sap_grid for single scenes, the
+    # auto "sap" dispatch for --scene envs (tiled sweep at mega capacity).
+    ap.add_argument("--broadphase", default=None,
                     choices=["sap", "sap_kernel", "sap_grid", "sap_window",
                              "sap_tiled", "n2"])
     ap.add_argument("--sap-window", type=int, default=192)
@@ -204,12 +207,14 @@ def main():
 
     if args.scene == "envs":
         cfg, st = build_envs(args.envs, args.boxes, args.backend,
-                             band=not args.no_band)
+                             band=not args.no_band,
+                             broadphase=args.broadphase or "sap",
+                             sap_window=args.sap_window)
     else:
         cfg, st = build(args.scene, args.boxes, args.backend,
-                        args.broadphase, args.sap_window, args.sap_hits,
-                        args.pairs_per_box, args.velocity_tol,
-                        args.rel_tol, args.pos_rel_tol)
+                        args.broadphase or "sap_grid", args.sap_window,
+                        args.sap_hits, args.pairs_per_box,
+                        args.velocity_tol, args.rel_tol, args.pos_rel_tol)
 
     def fence(s):
         # jax.block_until_ready can return before remote execution finishes
