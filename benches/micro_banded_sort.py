@@ -15,8 +15,10 @@ Also measured: carrying the 4 AABB payload columns THROUGH the sort
 row gathers are row-serialized on TPU (~12 ns/row, CLAUDE.md) which at
 1M rows is ~13 ms, possibly more than the sort saves.
 
-Timing protocol per BASELINE.md: fenced scalar fetch, chained inputs
-(never repeat an identical execution), median of reps.
+Protocol (BASELINE.md measurement integrity): reps chained inside ONE
+jitted lax.scan (fresh per-iteration inputs from a folded key, scalar
+carried), amortizing the ~20-25 ms per-dispatch tunnel overhead; an
+input-generation baseline is subtracted.
 """
 
 from __future__ import annotations
@@ -30,107 +32,120 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+BANDS = 8
 
-@jax.jit
+
+def make_keys(key, n):
+    """Band-disjoint keys: band b occupies [b*1e6, b*1e6 + 1e5)."""
+    seg = n // BANDS
+    base = jnp.repeat(jnp.arange(BANDS, dtype=jnp.float32) * 1e6, seg)
+    return base + jax.random.uniform(key, (n,), jnp.float32) * 1e5
+
+
+def make_keys_payload(key, n):
+    kk, kp = jax.random.split(key)
+    return make_keys(kk, n), jax.random.uniform(kp, (n, 4), jnp.float32)
+
+
 def flat_argsort(keys):
     order = jnp.argsort(keys).astype(jnp.int32)
-    return order, order[0] + order[-1]
+    return order[0] + order[-1]
 
 
-def make_banded_argsort(bands):
-    @jax.jit
-    def banded(keys):
-        n = keys.shape[0]
-        seg = n // bands
-        o = jnp.argsort(keys.reshape(bands, seg), axis=-1).astype(jnp.int32)
-        o = o + (jnp.arange(bands, dtype=jnp.int32) * seg)[:, None]
-        order = o.reshape(-1)
-        return order, order[0] + order[-1]
-    return banded
+def banded_argsort(keys):
+    n = keys.shape[0]
+    seg = n // BANDS
+    o = jnp.argsort(keys.reshape(BANDS, seg), axis=-1).astype(jnp.int32)
+    o = o + (jnp.arange(BANDS, dtype=jnp.int32) * seg)[:, None]
+    order = o.reshape(-1)
+    return order[0] + order[-1]
 
 
-@jax.jit
 def argsort_gather(keys, payload):
     # the shipped sap_tiled form: argsort, then permute the packed rows
     order = jnp.argsort(keys).astype(jnp.int32)
     rows = payload[order]
-    return rows, order, rows[0, 0] + jnp.float32(order[-1])
+    return rows[0, 0] + jnp.float32(order[-1]) + rows[-1, 3]
 
 
-@jax.jit
 def sort_carry(keys, payload):
     # carry the payload columns through the sort instead of gathering
     iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
     cols = tuple(payload[:, c] for c in range(payload.shape[1]))
     out = jax.lax.sort((keys, iota) + cols, num_keys=1)
-    order = out[1]
-    rows = jnp.stack(out[2:], axis=1)
-    return rows, order, rows[0, 0] + jnp.float32(order[-1])
+    return out[2][0] + jnp.float32(out[1][-1]) + out[5][-1]
 
 
-def make_banded_carry(bands):
+def banded_carry(keys, payload):
+    n = keys.shape[0]
+    seg = n // BANDS
+    iota = jnp.arange(n, dtype=jnp.int32).reshape(BANDS, seg)
+    k = keys.reshape(BANDS, seg)
+    cols = tuple(payload[:, c].reshape(BANDS, seg)
+                 for c in range(payload.shape[1]))
+    out = jax.lax.sort((k, iota) + cols, num_keys=1, dimension=-1)
+    return (out[2].reshape(-1)[0] + jnp.float32(out[1].reshape(-1)[-1])
+            + out[5].reshape(-1)[-1])
+
+
+def scan_bench(fn, make_args, reps):
     @jax.jit
-    def bc(keys, payload):
-        n = keys.shape[0]
-        seg = n // bands
-        iota = jnp.arange(n, dtype=jnp.int32).reshape(bands, seg)
-        k = keys.reshape(bands, seg)
-        cols = tuple(payload[:, c].reshape(bands, seg)
-                     for c in range(payload.shape[1]))
-        out = jax.lax.sort((k, iota) + cols, num_keys=1, dimension=-1)
-        order = out[1].reshape(-1)
-        rows = jnp.stack([c.reshape(-1) for c in out[2:]], axis=1)
-        return rows, order, rows[0, 0] + jnp.float32(order[-1])
-    return bc
+    def run(key, seed):
+        def body(carry, i):
+            k, s = carry
+            k2 = jax.random.fold_in(k, i)
+            out = fn(*make_args(k2))
+            return (k, s + out.astype(jnp.float32) * 1e-20 + 1.0), None
+        (k, s), _ = jax.lax.scan(
+            body, (key, seed), jnp.arange(reps, dtype=jnp.int32))
+        return s
+
+    key = jax.random.PRNGKey(0)
+    s = run(key, jnp.float32(0.0))
+    float(s)                                    # fence (scalar fetch)
+    t0 = time.perf_counter()
+    s = run(key, s)                             # chained input
+    float(s)
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
-def timeit(fn, args, reps=20):
-    out = fn(*args)
-    float(out[-1])                    # fence (scalar fetch)
-    ts = []
-    for r in range(reps):
-        # chain: perturb input from previous output so no two executions
-        # are identical (results can short-circuit on this stack)
-        args = (args[0] + jnp.float32(r & 1) * 1e-6, *args[1:])
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(out[-1])
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3
-
-
-def check_equiv(n, bands, seed=0):
+def check_equiv(n=8192, seed=0):
     """Band-disjoint keys: banded argsort == flat argsort (band regions
-    are disjoint, ties broken identically by index within a band)."""
-    rng = np.random.default_rng(seed)
-    seg = n // bands
-    base = np.repeat(np.arange(bands) * 1e6, seg)
-    keys = (base + rng.random(n) * 1e5).astype(np.float32)
-    kj = jnp.array(keys)
-    a, _ = flat_argsort(kj)
-    b, _ = make_banded_argsort(bands)(kj)
-    assert np.array_equal(np.asarray(a), np.asarray(b)), "order mismatch"
+    are disjoint, ties broken identically by index within a band); the
+    payload variants return bit-identical rows/orders."""
+    keys = make_keys(jax.random.PRNGKey(seed), n)
+    payload = jax.random.uniform(jax.random.PRNGKey(seed + 1), (n, 4))
+    o1 = jnp.argsort(keys).astype(jnp.int32)
+    seg = n // BANDS
+    o2 = (jnp.argsort(keys.reshape(BANDS, seg), axis=-1).astype(jnp.int32)
+          + (jnp.arange(BANDS, dtype=jnp.int32) * seg)[:, None]).reshape(-1)
+    assert np.array_equal(np.asarray(o1), np.asarray(o2)), "order mismatch"
+    r1 = payload[o1]
+    out = jax.lax.sort(
+        (keys, jnp.arange(n, dtype=jnp.int32))
+        + tuple(payload[:, c] for c in range(4)), num_keys=1)
+    r2 = jnp.stack(out[2:], axis=1)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2)), "payload mismatch"
 
 
 def main():
-    check_equiv(8192, 8)
+    check_equiv()
     print("equivalence (band-disjoint keys): OK")
-    for label, n in [("config E @1024 envs", 264192),
-                     ("config E @4096 envs", 1053696 - 1053696 % 8)]:
-        n -= n % 8
-        rng = np.random.default_rng(1)
-        seg = n // 8
-        base = np.repeat(np.arange(8) * 1e6, seg)
-        keys = jnp.array((base + rng.random(n) * 1e5).astype(np.float32))
-        payload = jnp.array(rng.random((n, 4)).astype(np.float32))
-        t_flat = timeit(flat_argsort, (keys,))
-        t_band = timeit(make_banded_argsort(8), (keys,))
-        t_ag = timeit(argsort_gather, (keys, payload))
-        t_sc = timeit(sort_carry, (keys, payload))
-        t_bc = timeit(make_banded_carry(8), (keys, payload))
+    for label, n, reps in [("config E @1024 envs", 264192, 30),
+                           ("config E @4096 envs", 1053696, 10)]:
+        n -= n % (8 * BANDS)
+        mk = lambda k: (make_keys(k, n),)
+        gen = scan_bench(lambda x: x[0], mk, reps)
+        t_flat = scan_bench(flat_argsort, mk, reps) - gen
+        t_band = scan_bench(banded_argsort, mk, reps) - gen
+        mkp = lambda k: make_keys_payload(k, n)
+        genp = scan_bench(lambda x, p: x[0] + p[0, 0], mkp, reps)
+        t_ag = scan_bench(argsort_gather, mkp, reps) - genp
+        t_sc = scan_bench(sort_carry, mkp, reps) - genp
+        t_bc = scan_bench(banded_carry, mkp, reps) - genp
         print(f"{label} (n={n}):")
         print(f"  argsort            flat {t_flat:8.3f} ms   "
-              f"banded(8) {t_band:8.3f} ms")
+              f"banded({BANDS}) {t_band:8.3f} ms")
         print(f"  +4-col payload     argsort+gather {t_ag:8.3f} ms   "
               f"carry-thru-sort {t_sc:8.3f} ms   "
               f"banded-carry {t_bc:8.3f} ms")
