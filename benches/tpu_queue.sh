@@ -30,4 +30,11 @@ timeout 4800 python benches/profile_envs.py --envs 1024 --settle 240 2>&1 | tail
 say "config E profile (1024 envs, reps=1, --no-band ablation)"
 timeout 4800 python benches/profile_envs.py --envs 1024 --settle 240 --no-band 2>&1 | tail -14 | tee -a "$LOG"
 
+say "micro: flat vs banded sort (config E segmented-sort experiment)"
+timeout 1800 python benches/micro_banded_sort.py 2>&1 | tail -8 | tee -a "$LOG"
+
+say "100k avalanche --autotune to settled frame 1000 (VERDICT r2 #5 full criterion)"
+timeout 5400 python bench.py --scene avalanche --boxes 100000 --steps 10 \
+    --settle 1000 --autotune 2>&1 | tail -3 | tee -a "$LOG"
+
 say "queue done"
