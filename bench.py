@@ -36,6 +36,42 @@ from phyx_tpu.step import rollout
 NORTH_STAR_STEPS_PER_SEC = 1000.0
 
 
+def acquire_tpu_lock(timeout_s: float = 1800.0):
+    """Serialize TPU access across local processes (CLAUDE.md rule 5:
+    ONE TPU process at a time — concurrent minute-long device programs
+    crash the remote worker).
+
+    Blocks on an advisory flock until any peer (another bench/profile
+    invocation, e.g. the measurement queue vs the driver's round-end
+    bench) releases it; after ``timeout_s`` proceeds anyway so a stuck
+    or killed holder can never turn the round-end bench into a no-op.
+    The fd is held for process lifetime (the OS drops the lock on exit,
+    even on SIGKILL)."""
+    import fcntl
+    import os
+    import sys
+    import time as _t
+    fd = os.open("/tmp/phyx_tpu.tpu.lock", os.O_CREAT | os.O_RDWR, 0o666)
+    deadline = _t.time() + timeout_s
+    waited = False
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            if waited:
+                print("# tpu lock: acquired", file=sys.stderr)
+            return fd
+        except OSError:
+            if _t.time() >= deadline:
+                print("# tpu lock: wait timed out — proceeding "
+                      "unserialized", file=sys.stderr)
+                return fd
+            if not waited:
+                print("# tpu lock: held by another TPU process, "
+                      "waiting...", file=sys.stderr)
+                waited = True
+            _t.sleep(5.0)
+
+
 def build_envs(num_envs: int, boxes_per_env: int, backend: str,
                band: bool = True, broadphase: str = "sap",
                sap_window: int = 96):
@@ -179,6 +215,7 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     else:
+        acquire_tpu_lock()
         # Fail LOUDLY if the TPU worker is unreachable (2026-08-17: the
         # axon PJRT init blocks forever inside make_c_api_client when the
         # pool grants no chip — a silent multi-hour hang otherwise).

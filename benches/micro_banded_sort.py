@@ -129,6 +129,8 @@ def check_equiv(n=8192, seed=0):
 
 
 def main():
+    from bench import acquire_tpu_lock
+    acquire_tpu_lock()
     check_equiv()
     print("equivalence (band-disjoint keys): OK")
     for label, n, reps in [("config E @1024 envs", 264192, 30),

@@ -87,6 +87,8 @@ def gen_only(*args):
 
 
 def main():
+    from bench import acquire_tpu_lock
+    acquire_tpu_lock()
     for label, n, cap, frac, reps in [
             ("10k finalize", 139264, 16384, 0.23, 60),
             ("20k finalize", 278528, 32768, 0.3, 40),

@@ -24,6 +24,8 @@ from phyx_tpu.step import rollout
 
 
 def main():
+    from bench import acquire_tpu_lock
+    acquire_tpu_lock()
     cfg, st = build("pile", 10000, "pallas", "sap_grid", 192, 8)
     # settle to the contact-rich state the bench measures
     for _ in range(3):

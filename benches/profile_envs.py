@@ -33,6 +33,8 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    from bench import acquire_tpu_lock
+    acquire_tpu_lock()
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=1024)
     ap.add_argument("--boxes", type=int, default=256)
