@@ -74,7 +74,7 @@ def acquire_tpu_lock(timeout_s: float = 1800.0):
 
 def build_envs(num_envs: int, boxes_per_env: int, backend: str,
                band: bool = True, broadphase: str = "sap",
-               sap_window: int = 96):
+               sap_window: int = 96, segsort: bool = False):
     """Config E (BASELINE.json:11): independent scenes as one block-diagonal
     mega-scene (parallel/envs.py).
 
@@ -89,6 +89,8 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str,
     # band_width 80 leave cross-band gaps; piles are ~15 tall -> y 400
     y_bands = 8 if num_envs >= 64 else 1
     x_count = -(-num_envs // y_bands)
+    use_segsort = (segsort and band and y_bands > 1
+                   and num_envs % y_bands == 0)
     # banded sweep keys (round 3): each y-band of envs sweeps in its own
     # x region — without this the tiled sweep's forward scan walks the
     # interleaved bodies of all y_bands at every x (they fail the y test
@@ -107,6 +109,11 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str,
         sweep_band_h=400.0 if (band and y_bands > 1) else 0.0,
         sweep_band_y0=-200.0,
         sweep_band_span=span if (band and y_bands > 1) else 0.0,
+        # segmented per-band sort: needs the exact static band layout
+        # (rows per env block, y-bands, x-cells) — see config.py
+        sweep_band_rows=(boxes_per_env + 1) if use_segsort else 0,
+        sweep_band_n=y_bands if use_segsort else 0,
+        sweep_band_cols=(num_envs // y_bands) if use_segsort else 0,
     )
     builders = [scenes.pile(cfg, boxes_per_env, seed=s, ground_half=30.0)
                 for s in range(num_envs)]
@@ -208,6 +215,9 @@ def main():
     ap.add_argument("--no-band", action="store_true",
                     help="disable banded sweep keys for --scene envs "
                          "(ablation; banding is the measured default)")
+    ap.add_argument("--segsort", action="store_true",
+                    help="per-band segmented body sorts for --scene envs "
+                         "(requires banding; measurement candidate)")
     ap.add_argument("--envs", type=int, default=64,
                     help="env count for --scene envs (boxes = per-env size)")
     args = ap.parse_args()
@@ -246,7 +256,8 @@ def main():
         cfg, st = build_envs(args.envs, args.boxes, args.backend,
                              band=not args.no_band,
                              broadphase=args.broadphase or "sap",
-                             sap_window=args.sap_window)
+                             sap_window=args.sap_window,
+                             segsort=args.segsort)
     else:
         cfg, st = build(args.scene, args.boxes, args.backend,
                         args.broadphase or "sap_grid", args.sap_window,

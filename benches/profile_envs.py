@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=2)
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--no-band", action="store_true")
+    ap.add_argument("--segsort", action="store_true")
     args = ap.parse_args()
 
     from bench import build_envs
@@ -49,7 +50,7 @@ def main():
     from phyx_tpu.step import rollout
 
     cfg, st = build_envs(args.envs, args.boxes, "pallas",
-                         band=not args.no_band)
+                         band=not args.no_band, segsort=args.segsort)
     print(f"# built {args.envs} x {args.boxes}: cap {cfg.max_bodies} "
           f"max_pairs {cfg.max_pairs}", file=sys.stderr)
 

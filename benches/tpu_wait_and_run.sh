@@ -14,7 +14,7 @@ assert float((x @ x).sum()) == 512.0
 EOF
   if [ $? -eq 0 ]; then
     echo "=== TPU UP at $(date) — running queue ===" >> "$LOG"
-    bash benches/tpu_queue.sh
+    bash "${QUEUE:-benches/tpu_queue.sh}"
     echo "=== queue finished $(date) ===" >> "$LOG"
     exit 0
   fi

@@ -58,17 +58,19 @@ def compute_aabbs(bodies: Bodies):
 def banded_x(lo, hi, active, cfg: SimConfig):
     """Banded sweep x-keys (config.sweep_band_h, mega-scene band grids).
 
-    Returns ``(swx_lo, swx_hi, n_cross)``: per-body sweep interval ends
-    with each y-band offset into its own x region, and the count of
-    active bodies whose own AABB crosses a band boundary (pairs touching
-    such a body can be silently missed by a banded sweep, so the caller
-    adds ``n_cross`` to the pair-overflow counter — no silent loss).
+    Returns ``(swx_lo, swx_hi, n_cross, bucket)``: per-body sweep
+    interval ends with each y-band offset into its own x region, the
+    count of active bodies whose own AABB crosses a band boundary (pairs
+    touching such a body can be silently missed by a banded sweep, so
+    the caller adds ``n_cross`` to the pair-overflow counter — no silent
+    loss), and each body's f32 band index (of its AABB lo corner).
     The hi end is inflated by span * 2**-18, which bounds the f32
     rounding of ``x + bucket * span`` for <= 31 bands: within a band the
     candidate set can only grow (extra candidates die in narrowphase).
     With sweep_band_h == 0 this is the identity (and n_cross == 0)."""
     if cfg.sweep_band_h <= 0.0:
-        return lo[:, 0], hi[:, 0], jnp.int32(0)
+        return lo[:, 0], hi[:, 0], jnp.int32(0), jnp.zeros(
+            lo.shape[0], jnp.float32)
     inv_h = jnp.float32(1.0 / cfg.sweep_band_h)
     y0 = jnp.float32(cfg.sweep_band_y0)
     b_lo = jnp.floor((lo[:, 1] - y0) * inv_h)
@@ -77,7 +79,38 @@ def banded_x(lo, hi, active, cfg: SimConfig):
     span = jnp.float32(cfg.sweep_band_span)
     off = b_lo * span
     pad = span * jnp.float32(2.0 ** -18)
-    return lo[:, 0] + off, hi[:, 0] + off + pad, n_cross
+    return lo[:, 0] + off, hi[:, 0] + off + pad, n_cross, b_lo
+
+
+def segmented_order(keys: jax.Array, cfg: SimConfig) -> jax.Array:
+    """Per-band batched sort of banded sweep keys → global order array.
+
+    XLA's TPU sort is O(log^2 n) compare-exchange passes over the whole
+    array; when the band-grid layout is static (config.sweep_band_rows/
+    _n/_cols — concat_envs mega-scenes), each y-band can be sorted
+    independently in ONE batched ``lax.sort``: same rows per pass,
+    log^2(rows/band) passes.  Bands are NOT memory-contiguous (env e's
+    y-band is ``e % B``, y cycling fastest), so the (X, B, R) reshape is
+    transposed to (B, X*R) — a block transpose, not a row gather — with
+    original body ids carried through the sort as the value column.
+
+    The result concatenates bands in bucket order, each ascending, then
+    the inactive tail rows in index order — the SAME permutation the
+    flat ``argsort`` of banded keys produces when every body sits in its
+    home band (bands occupy disjoint key ranges; both sorts are stable).
+    Bodies that LEFT their home band land at their segment's edge
+    instead of their true band: their cross-band pairs are not emitted,
+    so the caller must count them into overflow (broadphase_sap_tiled
+    counts ``bucket != home`` bodies)."""
+    R, B, X = (cfg.sweep_band_rows, cfg.sweep_band_n, cfg.sweep_band_cols)
+    n = keys.shape[0]
+    head = X * B * R
+    assert head <= n, (head, n)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    kt = keys[:head].reshape(X, B, R).transpose(1, 0, 2).reshape(B, X * R)
+    it = ids[:head].reshape(X, B, R).transpose(1, 0, 2).reshape(B, X * R)
+    _, sorted_ids = jax.lax.sort((kt, it), num_keys=1)
+    return jnp.concatenate([sorted_ids.reshape(-1), ids[head:]])
 
 
 def lex_sort_pairs(pi, pj, n_cap: int):
@@ -301,9 +334,10 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
 
     sweep_act = bodies.active & ~is_long
     # banded keys (sweep_band_h > 0): x columns carry the banded sweep
+    # (bucket unused here: the grid sweep sorts flat)
     # intervals, y columns stay true (the y test is exact either way);
     # band-boundary crossers are counted into overflow below
-    swx_lo, swx_hi, n_cross = banded_x(lo, hi, sweep_act, cfg)
+    swx_lo, swx_hi, n_cross, _ = banded_x(lo, hi, sweep_act, cfg)
     keys = jnp.where(sweep_act, swx_lo, jnp.float32(jnp.inf))
     order = jnp.argsort(keys).astype(jnp.int32)
     # Row gathers are row-serialized on TPU (~12 ns/row): permute ONE
@@ -418,9 +452,22 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     sweep_act = bodies.active & ~is_long
     # banded keys (sweep_band_h > 0): each y-band sweeps in its own x
     # region — band-boundary crossers are counted into overflow below
-    swx_lo, swx_hi, n_cross = banded_x(lo, hi, sweep_act, cfg)
+    swx_lo, swx_hi, n_cross, bucket = banded_x(lo, hi, sweep_act, cfg)
     keys = jnp.where(sweep_act, swx_lo, jnp.float32(jnp.inf))
-    order = jnp.argsort(keys).astype(jnp.int32)
+    segmented = cfg.sweep_band_rows > 0
+    if segmented:
+        # per-band batched sort (config.sweep_band_rows block): same
+        # permutation as the flat argsort when every body is home (see
+        # segmented_order); bodies OUTSIDE their home band pair with
+        # nothing and are counted into overflow here.
+        order = segmented_order(keys, cfg)
+        R, B = cfg.sweep_band_rows, cfg.sweep_band_n
+        home = ((jnp.arange(n, dtype=jnp.int32) // R) % B).astype(
+            jnp.float32)
+        n_cross = n_cross + (sweep_act & (bucket != home)).sum(
+            dtype=jnp.int32)
+    else:
+        order = jnp.argsort(keys).astype(jnp.int32)
     nact = sweep_act.sum(dtype=jnp.int32)
 
     K = -(-cfg.tile_stride // 1024) * 1024     # i32 DMA tiling
@@ -433,8 +480,23 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     # x columns carry the (possibly banded) sweep intervals; y columns
     # stay TRUE y (the kernel's y-overlap test is exact either way)
     aabb_rows = jnp.stack([swx_lo, lo[:, 1], swx_hi, hi[:, 1]], axis=1)
-    aabb_sorted = jnp.where(in_n[:, None], aabb_rows[srcp],
-                            jnp.float32(jnp.inf)).reshape(-1)
+    if segmented:
+        # The flat sort parks every non-sweep body past position nact;
+        # the segmented sort leaves them inside their segment, so the
+        # kernel must see them as EMPTY INTERVALS (lo=+inf, hi=-inf):
+        # as a scan STARTER hix=-inf stops the walk at the first row,
+        # as a TARGET lo=+inf ends the caller's walk exactly where the
+        # disjoint next-band key range would have — and the kernel's
+        # row bound becomes the padded length instead of nact.
+        e_row = jnp.array([jnp.inf, jnp.inf, -jnp.inf, -jnp.inf],
+                          jnp.float32)
+        aabb_rows = jnp.where(sweep_act[:, None], aabb_rows, e_row)
+        aabb_sorted = jnp.where(in_n[:, None], aabb_rows[srcp],
+                                e_row).reshape(-1)
+        nact = jnp.int32(npad)
+    else:
+        aabb_sorted = jnp.where(in_n[:, None], aabb_rows[srcp],
+                                jnp.float32(jnp.inf)).reshape(-1)
     dyn_sorted = jnp.where(in_n, dynamic[srcp].astype(jnp.int32), 0)
 
     mp = -(-cfg.max_pairs // 1024) * 1024

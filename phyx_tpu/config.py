@@ -141,6 +141,21 @@ class SimConfig:
     sweep_band_y0: float = 0.0
     sweep_band_span: float = 0.0
 
+    # --- segmented (per-band batched) body sort (0 = flat sort) ---
+    # XLA's TPU sort runs O(log^2 n) compare-exchange passes over the
+    # FULL array; a band-grid mega-scene whose layout is known statically
+    # can instead batch-sort each y-band independently — same total rows
+    # per pass, log^2(rows/band) passes.  Layout contract (concat_envs):
+    # env e = rows [e*rows, (e+1)*rows), e's y-band = e % n, envs
+    # x-major (x = e // n), head = cols * n * rows rows, any tail rows
+    # inactive.  Bodies found outside their HOME band are counted into
+    # pair overflow (their cross-band pairs are not emitted — same
+    # accounting as the band-boundary crossers above; size the bands so
+    # no env's bodies ever leave).  Requires sweep_band_h > 0.
+    sweep_band_rows: int = 0     # rows per env block (R)
+    sweep_band_n: int = 0        # y-bands (B)
+    sweep_band_cols: int = 0     # x-cells (X); head = X*B*R rows
+
     # --- solver backend ---
     # "xla"    : pure-XLA gather/scatter sweeps (always available, the
     #            correctness fallback per SURVEY.md §7.6)
@@ -159,6 +174,14 @@ class SimConfig:
             raise ValueError("tile_stride/tile_halo must be multiples of 128")
         if self.sweep_band_h > 0.0 and self.sweep_band_span <= 0.0:
             raise ValueError("sweep_band_h > 0 requires sweep_band_span")
+        seg = (self.sweep_band_rows, self.sweep_band_n, self.sweep_band_cols)
+        if any(s > 0 for s in seg):
+            if not all(s > 0 for s in seg):
+                raise ValueError("sweep_band_rows/_n/_cols must be set "
+                                 "together")
+            if self.sweep_band_h <= 0.0:
+                raise ValueError("segmented band sort requires "
+                                 "sweep_band_h > 0")
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -170,15 +170,23 @@ def solve_stage(bodies: Bodies, contacts, pairs, joints,
             # itself (stable, dead rows last) and returns accumulators in
             # the original contact order — compacting first would just add
             # a redundant full-buffer permute at 100k+ scale.
-            from phyx_tpu.broadphase import banded_x, compute_aabbs
+            from phyx_tpu.broadphase import (banded_x, compute_aabbs,
+                                             segmented_order)
             lo, hi = compute_aabbs(bodies)
             # banded keys (band-grid mega-scenes) concentrate each env's
             # contact partners into nearby ranks, shrinking slab-halo
             # spreads; slab-window violations are clamped + counted by
             # the solver either way (crossers counted by broadphase).
-            swx_lo, _, _ = banded_x(lo, hi, bodies.active, cfg)
+            swx_lo, _, _, _ = banded_x(lo, hi, bodies.active, cfg)
             xkeys = jnp.where(bodies.active, swx_lo, jnp.float32(jnp.inf))
-            xorder = jnp.argsort(xkeys).astype(jnp.int32)
+            if cfg.sweep_band_rows > 0:
+                # per-band batched sort — identical permutation while
+                # bodies sit in their home bands (broadphase counts the
+                # ones that left; slab violations are clamped+counted by
+                # the solver regardless of rank layout)
+                xorder = segmented_order(xkeys, cfg)
+            else:
+                xorder = jnp.argsort(xkeys).astype(jnp.int32)
             (bodies, accum_n, accum_t, residual, tiled_ovf,
              joint_accum) = solver.solve_pallas_tiled(
                 bodies, contacts, xorder, cfg,

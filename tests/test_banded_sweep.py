@@ -149,3 +149,121 @@ def test_band_boundary_crosser_counted():
     assert int(got.overflow) >= 1
     plain_got = broadphase_sap_tiled(st.bodies, plain)
     assert int(plain_got.overflow) == 0
+
+
+def _seg_cfg(banded):
+    # 8 envs x 24 boxes, y_bands=4: R=25 rows/env, B=4 bands, X=2 cells
+    return banded.replace(sweep_band_rows=25, sweep_band_n=4,
+                          sweep_band_cols=2)
+
+
+def test_segmented_sort_pairs_bit_identical():
+    """Per-band batched sort (config.sweep_band_rows) emits the exact
+    same Pairs buffer as the flat banded sort when every body sits in
+    its home band — _finish's lex sort canonicalizes pair order, so the
+    arrays must match bit-for-bit."""
+    plain, banded = _cfgs()
+    seg = _seg_cfg(banded)
+    st = _grid_state(plain)
+    a = broadphase_sap_tiled(st.bodies, banded)
+    b = broadphase_sap_tiled(st.bodies, seg)
+    assert (np.asarray(a.pi) == np.asarray(b.pi)).all()
+    assert (np.asarray(a.pj) == np.asarray(b.pj)).all()
+    assert int(a.num) == int(b.num)
+    assert int(a.overflow) == int(b.overflow) == 0
+
+
+def test_segmented_order_matches_flat_argsort():
+    """On home-banded keys the segmented order IS the flat argsort
+    permutation (disjoint band key ranges + stable sorts)."""
+    from phyx_tpu.broadphase import segmented_order
+
+    plain, banded = _cfgs()
+    seg = _seg_cfg(banded)
+    st = _grid_state(plain)
+    lo, hi = compute_aabbs(st.bodies)
+    from phyx_tpu.broadphase import banded_x
+    swx_lo, _, _, _ = banded_x(lo, hi, st.bodies.active, seg)
+    # exclude inf keys from the comparison: ties between +inf rows sort
+    # by index globally in the flat form but per-segment in the
+    # segmented form (both orderings are dead rows; pair sets identical)
+    keys = np.asarray(jnp.where(st.bodies.active, swx_lo,
+                                jnp.float32(jnp.inf)))
+    got = np.asarray(segmented_order(jnp.asarray(keys), seg))
+    ref = np.argsort(keys, kind="stable")
+    nfin = int(np.isfinite(keys).sum())
+    assert (got[:nfin] == ref[:nfin]).all()
+
+
+def test_segmented_rollout_bit_identical():
+    """Step-level equivalence on the Pallas path: segmented-broadphase
+    rollouts reproduce the flat banded rollout bit-for-bit (same pair
+    buffer in, same everything out)."""
+    from phyx_tpu.step import rollout
+
+    plain, banded = _cfgs()
+    st = _grid_state(plain)
+    bp = banded.replace(solver_backend="pallas")
+    sp = _seg_cfg(banded).replace(solver_backend="pallas")
+    a = rollout(st, bp, 20)
+    b = rollout(st, sp, 20)
+    act = np.asarray(st.bodies.active)
+    assert (np.asarray(a.bodies.pos)[act]
+            == np.asarray(b.bodies.pos)[act]).all()
+    assert float(a.stats.max_penetration) == float(b.stats.max_penetration)
+    assert int(b.stats.pair_overflow) == 0
+
+
+def test_segmented_drifter_counted():
+    """A body that moved FULLY into another band (no boundary crossing)
+    pairs correctly under the flat banded sort (overflow 0) but cannot
+    be placed by the static segment layout — the segmented sweep must
+    count it into overflow instead of silently dropping its pairs."""
+    plain, banded = _cfgs()
+    seg = _seg_cfg(banded)
+    st = _grid_state(plain)
+    pos = np.asarray(st.bodies.pos).copy()
+    idx = int(np.argmax(np.asarray(st.bodies.inv_mass) > 0))
+    # band centers are y = k*120 (bucket boundaries at -60 + k*120):
+    # y=120 is fully inside bucket 1 for a half-extent ~0.5 box
+    pos[idx] = (pos[idx][0], 120.0)
+    st = st.replace(bodies=st.bodies.replace(pos=jnp.array(pos)))
+    flat_got = broadphase_sap_tiled(st.bodies, banded)
+    seg_got = broadphase_sap_tiled(st.bodies, seg)
+    assert int(flat_got.overflow) == 0
+    assert int(seg_got.overflow) >= 1
+
+
+def test_segmented_tiled_solver_bit_identical():
+    """The tiled SOLVER's slab order also uses the segmented sort when
+    configured (step.py xorder): forced onto the tiled backend, the
+    segmented run reproduces the flat banded run bit-for-bit (identical
+    permutation while bodies are home)."""
+    import jax
+    from phyx_tpu import solver
+    from phyx_tpu import step as step_mod
+
+    plain, banded = _cfgs()
+    bp = banded.replace(solver_backend="pallas",
+                        tile_stride=256, tile_halo=256)
+    sp = _seg_cfg(bp)
+    st0 = _grid_state(plain)
+
+    orig_f = solver.pallas_smem_bytes
+    orig_s = solver.pallas_streamed_smem_bytes
+    solver.pallas_smem_bytes = lambda n, c: 10 ** 9
+    solver.pallas_streamed_smem_bytes = lambda n: 10 ** 9
+    jax.clear_caches()
+    try:
+        a, b = st0, st0
+        for _ in range(10):
+            a = step_mod.step(a, bp)
+            b = step_mod.step(b, sp)
+    finally:
+        solver.pallas_smem_bytes = orig_f
+        solver.pallas_streamed_smem_bytes = orig_s
+        jax.clear_caches()
+    act = np.asarray(st0.bodies.active)
+    assert (np.asarray(a.bodies.pos)[act]
+            == np.asarray(b.bodies.pos)[act]).all()
+    assert int(b.stats.pair_overflow) == 0
