@@ -84,6 +84,27 @@ def packed_scheme(valid, f2, f1, ids):
     return back[:, 0] + back[:, 1]
 
 
+def carry_scheme(valid, f2, f1, ids):
+    """Carry-through sort variant (session-4 candidate): the 19 columns
+    ride the compaction sort as payload operands (no row gather), and the
+    accumulators ride a second carried sort keyed on the original index
+    (no scatter).  Carried variadic sorts measured ~5x cheaper than
+    argsort + row gather at broadphase shapes (micro_banded_sort);
+    whether that survives 19 payload columns at (C=65536) rows is what
+    this measures."""
+    iota = jnp.arange(C, dtype=jnp.int32)
+    ops = ((jnp.logical_not(valid)).astype(jnp.int32),
+           *[x[:, 0] for x in f2], *[x[:, 1] for x in f2],
+           *f1, *ids, iota)
+    s = jax.lax.sort(ops, num_keys=1)
+    g20 = s[1:4]; g21 = s[4:7]; g1 = s[7:18]; gi = s[18:20]; order = s[20]
+    acc_n = g1[0] * 0.5 + g20[0] + gi[0].astype(jnp.float32) * 1e-9
+    acc_t = g1[1] * 0.5 + g21[1] + gi[1].astype(jnp.float32) * 1e-9
+    # un-permute by sorting back on the carried original index
+    _, bn, bt = jax.lax.sort((order, acc_n, acc_t), num_keys=1)
+    return bn + bt
+
+
 def bench(fn, reps):
     @jax.jit
     def run(key, seed):
@@ -124,3 +145,6 @@ if __name__ == "__main__":
           f"-> net {cur - base:.3f} ms")
     print(f"packed  (1 gather + 1 sort + 1 scatter): {pak:.3f} ms "
           f"-> net {pak - base:.3f} ms")
+    car = bench(carry_scheme, reps)
+    print(f"carried (2 payload sorts, no gather/scatter): {car:.3f} ms "
+          f"-> net {car - base:.3f} ms")

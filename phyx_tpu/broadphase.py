@@ -339,30 +339,28 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
     # band-boundary crossers are counted into overflow below
     swx_lo, swx_hi, n_cross, _ = banded_x(lo, hi, sweep_act, cfg)
     keys = jnp.where(sweep_act, swx_lo, jnp.float32(jnp.inf))
-    order = jnp.argsort(keys).astype(jnp.int32)
-    # Row gathers are row-serialized on TPU (~12 ns/row): permute ONE
-    # packed (N, 6) matrix instead of four separate arrays.
-    meta = jnp.concatenate([
-        swx_lo[:, None], lo[:, 1:2], swx_hi[:, None], hi[:, 1:2],
-        sweep_act[:, None].astype(jnp.float32),
-        dynamic[:, None].astype(jnp.float32)], axis=1)[order]
-    slo = meta[:, 0:2]
-    shi = meta[:, 2:4]
-    sact = meta[:, 4] > 0.0
-    sdyn = meta[:, 5] > 0.0
+    # The sweep columns ride through the sort as payload operands — a
+    # carried variadic sort beats argsort + a packed (N, 6) row gather
+    # (row gathers are row-serialized; see broadphase_sap_tiled).
+    _, sxlo, sylo, sxhi, syhi, sact_i, sdyn_i, order = jax.lax.sort(
+        (keys, swx_lo, lo[:, 1], swx_hi, hi[:, 1],
+         sweep_act.astype(jnp.int32), dynamic.astype(jnp.int32),
+         jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    sact = sact_i > 0
+    sdyn = sdyn_i > 0
 
     INF = jnp.float32(jnp.inf)
-    xlo_p = jnp.pad(slo[:, 0], (0, w + 1), constant_values=INF)
-    ylo_p = jnp.pad(slo[:, 1], (0, w + 1), constant_values=INF)
-    yhi_p = jnp.pad(shi[:, 1], (0, w + 1), constant_values=-INF)
+    xlo_p = jnp.pad(sxlo, (0, w + 1), constant_values=INF)
+    ylo_p = jnp.pad(sylo, (0, w + 1), constant_values=INF)
+    yhi_p = jnp.pad(syhi, (0, w + 1), constant_values=-INF)
     act_p = jnp.pad(sact, (0, w + 1), constant_values=False)
     dyn_p = jnp.pad(sdyn, (0, w + 1), constant_values=False)
     # target body ids arrive as contiguous slices of the sort permutation
     order_p = jnp.pad(order, (0, w + 1), constant_values=-1)
 
-    src_hix = shi[:, 0]
-    src_loy = slo[:, 1]
-    src_hiy = shi[:, 1]
+    src_hix = sxhi
+    src_loy = sylo
+    src_hiy = syhi
 
     def step_d(carry, d):
         count, tgt = carry
@@ -411,12 +409,15 @@ def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
     lo, hi = compute_aabbs(bodies)
     keys = jnp.where(bodies.active, lo[:, 0], jnp.float32(jnp.inf))
     iota = jnp.arange(n, dtype=jnp.int32)
-    _, order = jax.lax.sort((keys, iota), num_keys=1)
+    # AABB columns + dyn ride through the sort as payload operands (row
+    # gathers are row-serialized on this chip; see broadphase_sap_tiled)
+    _, sxlo, sylo, sxhi, syhi, sdyn, order = jax.lax.sort(
+        (keys, lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1],
+         (bodies.inv_mass > 0.0).astype(jnp.int32), iota), num_keys=1)
     nact = bodies.active.sum(dtype=jnp.int32)
-    slo, shi = lo[order], hi[order]
     aabb_sorted = jnp.stack(
-        [slo[:, 0], slo[:, 1], shi[:, 0], shi[:, 1]], axis=1).reshape(-1)
-    dyn_sorted = (bodies.inv_mass[order] > 0.0).astype(jnp.int32)
+        [sxlo, sylo, sxhi, syhi], axis=1).reshape(-1)
+    dyn_sorted = sdyn
 
     if n % 1024 == 0:
         pi, pj, num, ovf = sweep_emit_v2(aabb_sorted, order, dyn_sorted,
@@ -455,59 +456,81 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     swx_lo, swx_hi, n_cross, bucket = banded_x(lo, hi, sweep_act, cfg)
     keys = jnp.where(sweep_act, swx_lo, jnp.float32(jnp.inf))
     segmented = cfg.sweep_band_rows > 0
+
+    # The AABB columns + dyn flag ride THROUGH the sort as payload
+    # operands instead of argsort + (N, 4) row gather: row gathers are
+    # row-serialized on this chip, and the carried variadic sort is ~5x
+    # cheaper at mega-scene rows (fenced: benches/micro_banded_sort.py
+    # 2026-08-19: 3.30 -> 0.62 ms @ 264k rows, 7.15 -> 2.68 ms @ 1M).
+    # x columns carry the (possibly banded) sweep intervals; y columns
+    # stay TRUE y (the kernel's y-overlap test is exact either way).
+    ids = jnp.arange(n, dtype=jnp.int32)
     if segmented:
-        # per-band batched sort (config.sweep_band_rows block): same
+        # Per-band batched sort (config.sweep_band_rows layout): same
         # permutation as the flat argsort when every body is home (see
         # segmented_order); bodies OUTSIDE their home band pair with
-        # nothing and are counted into overflow here.
-        order = segmented_order(keys, cfg)
-        R, B = cfg.sweep_band_rows, cfg.sweep_band_n
-        home = ((jnp.arange(n, dtype=jnp.int32) // R) % B).astype(
-            jnp.float32)
+        # nothing and are counted into overflow here.  The flat sort
+        # parks every non-sweep body past position nact; the segmented
+        # sort leaves them inside their segment, so the kernel must see
+        # them as EMPTY INTERVALS (lo=+inf, hi=-inf): as a scan STARTER
+        # hix=-inf stops the walk at the first row, as a TARGET lo=+inf
+        # ends the caller's walk exactly where the disjoint next-band
+        # key range would have — and the kernel's row bound becomes the
+        # padded length instead of nact.
+        ninf = jnp.float32(-jnp.inf)
+        cols = (keys,
+                jnp.where(sweep_act, swx_lo, jnp.float32(jnp.inf)),
+                jnp.where(sweep_act, lo[:, 1], jnp.float32(jnp.inf)),
+                jnp.where(sweep_act, swx_hi, ninf),
+                jnp.where(sweep_act, hi[:, 1], ninf),
+                dynamic.astype(jnp.int32), ids)
+        R, B, X = (cfg.sweep_band_rows, cfg.sweep_band_n,
+                   cfg.sweep_band_cols)
+        head = X * B * R
+        tcols = tuple(
+            c[:head].reshape(X, B, R).transpose(1, 0, 2).reshape(B, X * R)
+            for c in cols)
+        scols = jax.lax.sort(tcols, num_keys=1)
+        scols = [jnp.concatenate([s.reshape(-1), c[head:]])
+                 for s, c in zip(scols, cols)]
+        home = ((ids // R) % B).astype(jnp.float32)
         n_cross = n_cross + (sweep_act & (bucket != home)).sum(
             dtype=jnp.int32)
+        fill_row = (jnp.inf, jnp.inf, -jnp.inf, -jnp.inf)
     else:
-        order = jnp.argsort(keys).astype(jnp.int32)
+        cols = (keys, swx_lo, lo[:, 1], swx_hi, hi[:, 1],
+                dynamic.astype(jnp.int32), ids)
+        scols = jax.lax.sort(cols, num_keys=1)
+        fill_row = (jnp.inf, jnp.inf, jnp.inf, jnp.inf)
+    _, sxlo, sylo, sxhi, syhi, sdyn, order = scols
     nact = sweep_act.sum(dtype=jnp.int32)
 
     K = -(-cfg.tile_stride // 1024) * 1024     # i32 DMA tiling
     W = K + max(1024, -(-cfg.tile_halo // 1024) * 1024)
     n_slabs = max(1, -(-n // K))
     npad = (n_slabs - 1) * K + W
-    pad_iota = jnp.arange(npad, dtype=jnp.int32)
-    srcp = order[jnp.clip(pad_iota, 0, n - 1)]
-    in_n = pad_iota < n
-    # x columns carry the (possibly banded) sweep intervals; y columns
-    # stay TRUE y (the kernel's y-overlap test is exact either way)
-    aabb_rows = jnp.stack([swx_lo, lo[:, 1], swx_hi, hi[:, 1]], axis=1)
     if segmented:
-        # The flat sort parks every non-sweep body past position nact;
-        # the segmented sort leaves them inside their segment, so the
-        # kernel must see them as EMPTY INTERVALS (lo=+inf, hi=-inf):
-        # as a scan STARTER hix=-inf stops the walk at the first row,
-        # as a TARGET lo=+inf ends the caller's walk exactly where the
-        # disjoint next-band key range would have — and the kernel's
-        # row bound becomes the padded length instead of nact.
-        e_row = jnp.array([jnp.inf, jnp.inf, -jnp.inf, -jnp.inf],
-                          jnp.float32)
-        aabb_rows = jnp.where(sweep_act[:, None], aabb_rows, e_row)
-        aabb_sorted = jnp.where(in_n[:, None], aabb_rows[srcp],
-                                e_row).reshape(-1)
         nact = jnp.int32(npad)
-    else:
-        aabb_sorted = jnp.where(in_n[:, None], aabb_rows[srcp],
-                                jnp.float32(jnp.inf)).reshape(-1)
-    dyn_sorted = jnp.where(in_n, dynamic[srcp].astype(jnp.int32), 0)
+    pad4 = jnp.tile(jnp.array(fill_row, jnp.float32), (npad - n, 1)) \
+        if npad > n else jnp.zeros((0, 4), jnp.float32)
+    aabb_sorted = jnp.concatenate(
+        [jnp.stack([sxlo, sylo, sxhi, syhi], axis=1), pad4]).reshape(-1)
+    dyn_sorted = jnp.concatenate(
+        [sdyn, jnp.zeros(npad - n, jnp.int32)])
+    # the kernel emits BODY IDS straight from the order window (two SMEM
+    # loads per emitted pair) — converting positions afterwards costs two
+    # row-serialized max_pairs-element gathers
+    order_sorted = jnp.concatenate(
+        [order, jnp.full(npad - n, EMPTY, jnp.int32)])
 
     mp = -(-cfg.max_pairs // 1024) * 1024
     ppi, ppj, num_k, ovf = sweep_emit_tiled(
-        aabb_sorted, dyn_sorted, nact, mp, n_slabs, K, W)
+        aabb_sorted, dyn_sorted, order_sorted, nact, mp, n_slabs, K, W)
     ovf = ovf + n_cross
     slot = jnp.arange(mp, dtype=jnp.int32)
     live = slot < num_k
-    # positions -> body ids
-    a = jnp.where(live, order[jnp.clip(ppi, 0, n - 1)], EMPTY)
-    b = jnp.where(live, order[jnp.clip(ppj, 0, n - 1)], EMPTY)
+    a = jnp.where(live, ppi, EMPTY)
+    b = jnp.where(live, ppj, EMPTY)
     ki = jnp.minimum(a, b)
     kj = jnp.maximum(a, b)
 

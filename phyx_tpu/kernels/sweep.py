@@ -112,6 +112,7 @@ def sweep_emit(aabb_flat: jax.Array,   # (N*4,) f32 [lox, loy, hix, hiy]
                                              "slab_stride", "window_rows"))
 def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                      dyn_sorted: jax.Array,   # (Npad,) i32
+                     order_sorted: jax.Array,  # (Npad,) i32 body id per row
                      nact: jax.Array,         # () i32 active body count
                      max_pairs: int,
                      n_slabs: int,
@@ -121,23 +122,28 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
     """Sweep & prune over x-sorted AABBs with slab-windowed SMEM residency
     and HBM pair emission through an SMEM staging buffer.
 
-    Unlike sweep_emit, nothing scales with N in SMEM: the AABB/dyn windows
-    are DMA'd per slab and emitted (i, j) pairs are SORTED POSITIONS
-    (caller converts to body ids via its sort order).  A sweep that is
-    still x-open at the window end increments the missed counter, exactly
-    like the windowed XLA sweep's truncation accounting.
+    Unlike sweep_emit, nothing scales with N in SMEM: the AABB/dyn/order
+    windows are DMA'd per slab, and emitted pairs are BODY IDS looked up
+    from the order window at emission time — converting positions to ids
+    after the kernel costs two row-serialized max_pairs-element gathers
+    (~10 ns/element; ~68 ms at the mega-scene's 3.4M-slot buffer), while
+    the in-kernel lookup is two SMEM loads per EMITTED pair.  A sweep
+    that is still x-open at the window end increments the missed counter,
+    exactly like the windowed XLA sweep's truncation accounting.
 
-    Returns (pi, pj, num, overflow) with positions, EMPTY beyond num.
+    Returns (pi, pj, num, overflow) with body ids, EMPTY beyond num.
     """
     npad = dyn_sorted.shape[0]
     assert npad >= (n_slabs - 1) * slab_stride + window_rows
+    assert order_sorted.shape[0] == npad
     # i32 1D DMA tiling: strides, window and pair buffer all 1024-aligned
     assert slab_stride % 1024 == 0 and window_rows % 1024 == 0
     assert max_pairs % 1024 == 0
     STAGE = 1024   # staging pairs; flush granularity (i32 DMA tile)
 
-    def kern(nact_ref, aabb_hbm, dyn_hbm, pi_hbm, pj_hbm, cnt_ref, ovf_ref,
-             aabb_s, dyn_s, win_sem, pi_st, pj_st, st_sem):
+    def kern(nact_ref, aabb_hbm, dyn_hbm, ord_hbm, pi_hbm, pj_hbm,
+             cnt_ref, ovf_ref,
+             aabb_s, dyn_s, ord_s, win_sem, pi_st, pj_st, st_sem):
         na = nact_ref[0]
 
         def flush(cnt, fill):
@@ -162,6 +168,10 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                 dyn_hbm.at[pl.ds(pl.multiple_of(base, 1024), window_rows)],
                 dyn_s, win_sem)
             cpd.start(); cpd.wait()
+            cpo = pltpu.make_async_copy(
+                ord_hbm.at[pl.ds(pl.multiple_of(base, 1024), window_rows)],
+                ord_s, win_sem)
+            cpo.start(); cpo.wait()
 
             k_hi = jnp.minimum(slab_stride, na - base)
 
@@ -189,8 +199,8 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                     @pl.when(fits)
                     def _():
                         slot = jax.lax.rem(cnt, STAGE)
-                        pi_st[slot] = base + k
-                        pj_st[slot] = base + j
+                        pi_st[slot] = ord_s[k]
+                        pj_st[slot] = ord_s[j]
 
                     new_cnt = cnt + jnp.where(fits, 1, 0)
 
@@ -244,10 +254,11 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
-        in_specs=[smem, anyspec, anyspec],
+        in_specs=[smem, anyspec, anyspec, anyspec],
         out_specs=(anyspec, anyspec, smem, smem),
         scratch_shapes=[
             pltpu.SMEM((window_rows * 4,), jnp.float32),
+            pltpu.SMEM((window_rows,), jnp.int32),
             pltpu.SMEM((window_rows,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((STAGE,), jnp.int32),
@@ -255,7 +266,8 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_use_interpret(),
-    )(jnp.reshape(nact.astype(jnp.int32), (1,)), aabb_sorted, dyn_sorted)
+    )(jnp.reshape(nact.astype(jnp.int32), (1,)), aabb_sorted, dyn_sorted,
+      order_sorted.astype(jnp.int32))
     return pi, pj, cnt[0], ovf[0]
 
 
