@@ -36,34 +36,55 @@ from phyx_tpu.step import rollout
 NORTH_STAR_STEPS_PER_SEC = 1000.0
 
 
-def acquire_tpu_lock(timeout_s: float = 1800.0):
+def acquire_tpu_lock(timeout_s: float = 240.0):
     """Serialize TPU access across local processes (CLAUDE.md rule 5:
     ONE TPU process at a time — concurrent minute-long device programs
     crash the remote worker).
 
     Blocks on an advisory flock until any peer (another bench/profile
     invocation, e.g. the measurement queue vs the driver's round-end
-    bench) releases it; after ``timeout_s`` proceeds anyway so a stuck
-    or killed holder can never turn the round-end bench into a no-op.
-    The fd is held for process lifetime (the OS drops the lock on exit,
-    even on SIGKILL)."""
+    bench) releases it; after ``timeout_s`` proceeds anyway so a stuck,
+    killed, or long-running holder can never turn the round-end bench
+    into a no-op.  ROUND-3 POSTMORTEM (VERDICT r3 weak #1): the default
+    wait was 1800 s, LONGER than the driver's own bench timeout — a
+    builder measurement queue holding the lock starved the official
+    round-end bench into rc 124.  The wait now defaults to 240 s
+    (override: PHYX_TPU_LOCK_TIMEOUT), short enough that the scoring
+    bench always proceeds; measurement queues must additionally take a
+    hard deadline and exit (benches/tpu_queue*.sh QUEUE_TTL).
+
+    The holder writes its PID + argv into the lock file so a waiting
+    process's operator can inspect who holds it.  The fd is held for
+    process lifetime (the OS drops the lock on exit, even on SIGKILL)."""
     import fcntl
     import os
     import sys
     import time as _t
+    timeout_s = float(os.environ.get("PHYX_TPU_LOCK_TIMEOUT", timeout_s))
     fd = os.open("/tmp/phyx_tpu.tpu.lock", os.O_CREAT | os.O_RDWR, 0o666)
     deadline = _t.time() + timeout_s
     waited = False
     while True:
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            try:
+                os.ftruncate(fd, 0)
+                os.pwrite(fd, (f"{os.getpid()} "
+                               f"{' '.join(sys.argv)}\n").encode(), 0)
+            except OSError:
+                pass
             if waited:
                 print("# tpu lock: acquired", file=sys.stderr)
             return fd
         except OSError:
             if _t.time() >= deadline:
-                print("# tpu lock: wait timed out — proceeding "
-                      "unserialized", file=sys.stderr)
+                try:
+                    holder = os.pread(fd, 256, 0).decode(
+                        errors="replace").strip()
+                except OSError:
+                    holder = "?"
+                print(f"# tpu lock: wait timed out (holder: {holder}) — "
+                      "proceeding unserialized", file=sys.stderr)
                 return fd
             if not waited:
                 print("# tpu lock: held by another TPU process, "
@@ -74,7 +95,9 @@ def acquire_tpu_lock(timeout_s: float = 1800.0):
 
 def build_envs(num_envs: int, boxes_per_env: int, backend: str,
                band: bool = True, broadphase: str = "sap",
-               sap_window: int = 96, segsort: bool = False):
+               sap_window: int = 96, segsort: bool = False,
+               velocity_rel_tol: float = 0.0,
+               position_rel_tol: float = 0.0):
     """Config E (BASELINE.json:11): independent scenes as one block-diagonal
     mega-scene (parallel/envs.py).
 
@@ -91,6 +114,14 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str,
     x_count = -(-num_envs // y_bands)
     use_segsort = (segsort and band and y_bands > 1
                    and num_envs % y_bands == 0)
+    if segsort and not use_segsort:
+        # ADVICE r3 #2: a --segsort row that silently measured the flat
+        # sort would mislabel an accept/reject comparison
+        raise SystemExit(
+            "--segsort requires banding on, num_envs >= 64 and "
+            f"num_envs % {y_bands} == 0 (got envs={num_envs}, "
+            f"band={band}); refusing to measure the flat path under a "
+            "segsort label")
     # banded sweep keys (round 3): each y-band of envs sweeps in its own
     # x region — without this the tiled sweep's forward scan walks the
     # interleaved bodies of all y_bands at every x (they fail the y test
@@ -114,6 +145,8 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str,
         sweep_band_rows=(boxes_per_env + 1) if use_segsort else 0,
         sweep_band_n=y_bands if use_segsort else 0,
         sweep_band_cols=(num_envs // y_bands) if use_segsort else 0,
+        velocity_rel_tol=velocity_rel_tol,
+        position_rel_tol=position_rel_tol,
     )
     builders = [scenes.pile(cfg, boxes_per_env, seed=s, ground_half=30.0)
                 for s in range(num_envs)]
@@ -163,10 +196,10 @@ def build(scene: str, boxes: int, backend: str, broadphase: str = "sap",
     return cfg, sb.build()
 
 
-def _suggest_window(st) -> int:
+def _suggest_window(st, cfg=None) -> int:
     from phyx_tpu.broadphase import suggest_sap_window
     try:
-        return int(suggest_sap_window(st.bodies))
+        return int(suggest_sap_window(st.bodies, cfg=cfg))
     except Exception:
         return -1
 
@@ -257,7 +290,9 @@ def main():
                              band=not args.no_band,
                              broadphase=args.broadphase or "sap",
                              sap_window=args.sap_window,
-                             segsort=args.segsort)
+                             segsort=args.segsort,
+                             velocity_rel_tol=args.rel_tol,
+                             position_rel_tol=args.pos_rel_tol)
     else:
         cfg, st = build(args.scene, args.boxes, args.backend,
                         args.broadphase or "sap_grid", args.sap_window,
@@ -348,6 +383,12 @@ def main():
             "contacts": ncontacts,
             "pairs": int(st.stats.num_pairs),
             "pair_overflow": int(st.stats.pair_overflow),
+            # per-cause breakdown (VERDICT r3 #3): window truncation /
+            # hit-slot spill / pair-buffer drop / band crossers /
+            # solver slab clamps
+            "ovf": {k: int(getattr(st.stats, k)) for k in
+                    ("ovf_window", "ovf_slots", "ovf_drop",
+                     "ovf_band", "ovf_slab")},
             "pair_impulse_iters_per_sec": round(pair_iters),
             "max_penetration": float(st.stats.max_penetration),
             "residual": float(st.stats.residual),
@@ -356,7 +397,7 @@ def main():
             "noise_floor": noise_floor,
             # window-sizing policy readout on the measured (settled) state:
             # compare against --sap-window; resize if overflow fires
-            "suggested_sap_window": _suggest_window(st),
+            "suggested_sap_window": _suggest_window(st, cfg),
             "autotune": ({"final_window": cfg.sap_window,
                           "final_hits": cfg.sap_hits,
                           "final_pairs": cfg.max_pairs,

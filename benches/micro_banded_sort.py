@@ -132,11 +132,47 @@ def check_equiv(n=8192, seed=0):
     assert np.array_equal(np.asarray(r1), np.asarray(r2)), "payload mismatch"
 
 
+def argsort_gather6(keys, payload):
+    # sap_grid's small-capacity form: argsort + ONE packed (N, 6) gather
+    order = jnp.argsort(keys).astype(jnp.int32)
+    rows = payload[order]
+    return rows[0, 0] + jnp.float32(order[-1]) + rows[-1, 5]
+
+
+def sort_carry6(keys, payload):
+    # sap_grid's mega form: 6 payload columns + iota carried by the sort
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    cols = tuple(payload[:, c] for c in range(6))
+    out = jax.lax.sort((keys, iota) + cols, num_keys=1)
+    return out[2][0] + jnp.float32(out[1][-1]) + out[7][-1]
+
+
+def make_keys_payload6(key, n):
+    kk, kp = jax.random.split(key)
+    return make_keys(kk, n), jax.random.uniform(kp, (n, 6), jnp.float32)
+
+
+def small_shapes():
+    """Fence CARRY_MIN_ROWS (broadphase.py): gather vs carry at the
+    10k/20k bench capacities with sap_grid's 6 payload columns."""
+    for label, n, reps in [("10k bench cap", 16384, 200),
+                           ("20k bench cap", 32768, 100),
+                           ("64k", 65536, 50)]:
+        mkp = lambda k: make_keys_payload6(k, n)
+        genp = scan_bench(lambda x, p: x[0] + p[0, 0], mkp, reps)
+        t_ag = scan_bench(argsort_gather6, mkp, reps) - genp
+        t_sc = scan_bench(sort_carry6, mkp, reps) - genp
+        print(f"{label} (n={n}): 6-col payload   "
+              f"argsort+gather {t_ag:8.3f} ms   "
+              f"carry-thru-sort {t_sc:8.3f} ms")
+
+
 def main():
     from bench import acquire_tpu_lock
     acquire_tpu_lock()
     check_equiv()
     print("equivalence (band-disjoint keys): OK")
+    small_shapes()
     for label, n, reps in [("config E @1024 envs", 264192, 30),
                            ("config E @4096 envs", 1053696, 10)]:
         n -= n % (8 * BANDS)

@@ -1,0 +1,98 @@
+"""Fenced micro: the tiled solver's per-visit gap vs the streamed kernel
+(VERDICT r3 weak #5: settled config E reads ~74 ns/visit where the
+streamed kernel's measured floor is ~51 — ~320 ms/step unattributed).
+
+Protocol: the SAME settled 10k-pile state is solved by (a) the streamed
+kernel (the 10k default), (b) the tiled kernel forced via the SMEM
+predicate, at two slab geometries.  Same contacts, same visit count, same
+sweep math — the deltas isolate:
+
+  * streamed vs tiled @ 2 slabs  -> the tiled kernel's intrinsic
+    per-visit overhead (window indexing, acc staging);
+  * tiled @ 2 slabs vs @ 8 slabs -> the per-slab fixed cost
+    (window DMA in/out, slab switch) paid n_slabs x passes times.
+
+Timing per BASELINE.md integrity rules: rollout scan chaining, scalar
+fence, (t(2n) - t(n)) / n.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+
+
+def measure(st, cfg, steps=50):
+    from phyx_tpu.step import rollout
+
+    def fence(s):
+        return float(s.stats.residual)
+
+    st = rollout(st, cfg, steps)
+    fence(st)
+    st = rollout(st, cfg, 2 * steps)
+    fence(st)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st = rollout(st, cfg, steps)
+        fence(st)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        st = rollout(st, cfg, 2 * steps)
+        fence(st)
+        t2 = time.perf_counter() - t0
+        if t2 > t1:
+            break
+    ms = (t2 - t1) / steps * 1e3
+    return ms, st
+
+
+def main():
+    from bench import acquire_tpu_lock, build
+    acquire_tpu_lock()
+    from phyx_tpu import solver
+    from phyx_tpu.step import rollout
+
+    cfg, st = build("pile", 10000, "pallas", "sap_grid", 192, 8)
+    st = rollout(st, cfg, 100)
+    for _ in range(2):
+        st = rollout(st, cfg, 100)
+    float(st.stats.residual)
+    nvisits = int(st.stats.num_contacts) * (
+        cfg.velocity_iterations + 1 + cfg.position_iterations)
+
+    ms_s, st_s = measure(st, cfg)
+    print(f"streamed: {ms_s:7.2f} ms/step  "
+          f"({ms_s * 1e6 / nvisits:5.1f} ns/visit-equivalent of the "
+          f"whole step; contacts {int(st.stats.num_contacts)})")
+
+    orig_f = solver.pallas_smem_bytes
+    orig_s = solver.pallas_streamed_smem_bytes
+    solver.pallas_smem_bytes = lambda n, c: 10 ** 9
+    solver.pallas_streamed_smem_bytes = lambda n: 10 ** 9
+    try:
+        for stride, halo in ((16384, 2048), (2048, 2048)):
+            jax.clear_caches()
+            c2 = cfg.replace(tile_stride=stride, tile_halo=halo)
+            ms_t, _ = measure(st, c2)
+            rps = stride - 128
+            n_slabs = -(-cfg.max_bodies // rps)
+            print(f"tiled stride {stride:6d} ({n_slabs} slabs): "
+                  f"{ms_t:7.2f} ms/step  (+{ms_t - ms_s:6.2f} vs "
+                  f"streamed; +{(ms_t - ms_s) * 1e6 / nvisits:5.1f} "
+                  f"ns/visit)")
+    finally:
+        solver.pallas_smem_bytes = orig_f
+        solver.pallas_streamed_smem_bytes = orig_s
+        jax.clear_caches()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,12 +26,12 @@ timeout 4800 python benches/profile_envs.py --envs 1024 --settle 240 2>&1 | tail
 say "config E profile (1024 envs, reps=1, --no-band ablation)"
 timeout 4800 python benches/profile_envs.py --envs 1024 --settle 240 --no-band 2>&1 | tail -14 | tee -a "$LOG"
 
-say "queue r3b done"
+say "checkpoint: r3b core items done"
 
 say "config E profile (1024 envs, reps=1, banded + SEGMENTED sorts)"
 timeout 4800 python benches/profile_envs.py --envs 1024 --settle 240 --segsort 2>&1 | tail -14 | tee -a "$LOG"
 
-say "queue r3b + segsort done"
+say "checkpoint: r3b segsort item done"
 
 say "10k pile re-bench (carry-thru sorts + id-emitting tiled kernel tree)"
 timeout 2400 python bench.py 2>&1 | tail -2 | tee -a "$LOG"
@@ -43,9 +43,9 @@ say "envs 1024 bench: banded flat vs segsort (wall-clock accept/reject)"
 timeout 4800 python bench.py --scene envs --envs 1024 --boxes 256 --steps 2 --settle 240 2>&1 | tail -2 | tee -a "$LOG"
 timeout 4800 python bench.py --scene envs --envs 1024 --boxes 256 --steps 2 --settle 240 --segsort 2>&1 | tail -2 | tee -a "$LOG"
 
-say "queue r3b session-4 additions done"
+say "checkpoint: r3b session-4 additions done"
 
 say "micro: compaction gather/scatter vs carried sorts (session-4 candidate)"
 timeout 1800 python benches/micro_compaction.py 2>&1 | tail -5 | tee -a "$LOG"
 
-say "queue r3b final done"
+say "queue r3b done (terminal marker)"

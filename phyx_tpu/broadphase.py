@@ -29,19 +29,48 @@ from phyx_tpu.types import Bodies, ContactCache, _pytree_dataclass
 
 EMPTY = ContactCache.EMPTY  # int32 sentinel key, sorts last
 
+# Carrying sweep columns THROUGH the body sort as payload operands vs
+# argsort + one packed row gather: fenced at 16k/32k/64k/264k/1M rows
+# (benches/micro_banded_sort.py, 2026-08-19) — carry wins ≥32k rows
+# (0.095 vs -0.014 ms @ 32k, 3.15 vs 0.41 ms @ 264k) and is a wash at
+# 16k (both sub-noise), so carry ships unconditionally.  VERDICT r3 #1b
+# suspected carry caused the 27.96 -> 26.79 @ 10k drop; re-measured
+# same-session round 4: the OLD tree (dc67a0c) reads 26.63 and HEAD
+# 26.75 with bit-identical physics stats — the drop was day-to-day
+# device/tunnel variance, not code (BASELINE.md row B).
+
 
 @_pytree_dataclass
 class Pairs:
     """Fixed-capacity candidate pair buffer (output of broadphase).
 
     ``pi < pj`` body indices, lex-sorted, with free slots at ``EMPTY``.
+    ``overflow`` aggregates the per-cause counters (kept so existing
+    consumers keep working); the ``ovf_*`` breakdown says which budget
+    to grow (VERDICT r3 #3) — see types.SolverStats for the legend.
     """
 
     pi: jax.Array        # (P,) int32
     pj: jax.Array        # (P,) int32
     valid: jax.Array     # (P,) bool
     num: jax.Array       # ()  int32  number of valid pairs
-    overflow: jax.Array  # ()  int32  pairs dropped or possibly missed
+    overflow: jax.Array  # ()  int32  pairs dropped or possibly missed (sum)
+    ovf_window: jax.Array  # () int32 window-truncated sweeps
+    ovf_slots: jax.Array   # () int32 per-body hit-slot spills
+    ovf_drop: jax.Array    # () int32 pair-buffer drops
+    ovf_band: jax.Array    # () int32 band crossers / segsort drifters
+    ovf_slab: jax.Array    # () int32 tiled-SOLVER slab clamps (zero from
+    #                        broadphase; step.solve_stage fills it in)
+
+    @staticmethod
+    def of(pi, pj, valid, num, overflow=0, ovf_window=0, ovf_slots=0,
+           ovf_drop=0, ovf_band=0, ovf_slab=0) -> "Pairs":
+        """Construct with int-friendly overflow fields (tests/helpers)."""
+        i32 = lambda x: jnp.asarray(x, jnp.int32)
+        return Pairs(pi=pi, pj=pj, valid=valid, num=i32(num),
+                     overflow=i32(overflow), ovf_window=i32(ovf_window),
+                     ovf_slots=i32(ovf_slots), ovf_drop=i32(ovf_drop),
+                     ovf_band=i32(ovf_band), ovf_slab=i32(ovf_slab))
 
 
 def compute_aabbs(bodies: Bodies):
@@ -137,7 +166,8 @@ def lex_sort_pairs(pi, pj, n_cap: int):
     return pi_s, pj_s
 
 
-def _finish(pi, pj, valid, overflow, max_pairs, n_cap=None):
+def _finish(pi, pj, valid, max_pairs, n_cap=None,
+            ovf_window=0, ovf_slots=0, ovf_drop=0, ovf_band=0):
     """Compact candidate (pi, pj, valid) of any shape into a lex-sorted
     fixed buffer of size max_pairs.
 
@@ -149,7 +179,11 @@ def _finish(pi, pj, valid, overflow, max_pairs, n_cap=None):
     costs MORE than sorting the whole grid: 2.85 ms vs 1.18 ms at the
     10k-bench shape (139k grid / 32k pairs), 42.8 ms vs 7.7 ms at the
     100k-avalanche shape (2.1M grid / 819k pairs).  XLA's TPU sort is
-    the one primitive here that is not row-serialized."""
+    the one primitive here that is not row-serialized.
+
+    The ``ovf_*`` kwargs are the caller's per-cause overflow counts
+    (VERDICT r3 #3); candidates sliced off past ``max_pairs`` here are
+    added to ``ovf_drop``."""
     pi = pi.reshape(-1).astype(jnp.int32)
     pj = pj.reshape(-1).astype(jnp.int32)
     valid = valid.reshape(-1)
@@ -168,13 +202,22 @@ def _finish(pi, pj, valid, overflow, max_pairs, n_cap=None):
     pj_out = jax.lax.dynamic_slice_in_dim(pj_s, 0, max_pairs) \
         if pj_s.shape[0] >= max_pairs else jnp.pad(
             pj_s, (0, max_pairs - pj_s.shape[0]), constant_values=EMPTY)
-    dropped = jnp.maximum(num - max_pairs, 0)
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    ovf_window = i32(ovf_window)
+    ovf_slots = i32(ovf_slots)
+    ovf_band = i32(ovf_band)
+    ovf_drop = i32(ovf_drop) + jnp.maximum(num - max_pairs, 0)
     return Pairs(
         pi=pi_out,
         pj=pj_out,
         valid=pi_out != EMPTY,
         num=jnp.minimum(num, max_pairs),
-        overflow=(overflow + dropped).astype(jnp.int32),
+        overflow=ovf_window + ovf_slots + ovf_drop + ovf_band,
+        ovf_window=ovf_window,
+        ovf_slots=ovf_slots,
+        ovf_drop=ovf_drop,
+        ovf_band=ovf_band,
+        ovf_slab=jnp.zeros((), jnp.int32),
     )
 
 
@@ -195,8 +238,7 @@ def broadphase_n2(bodies: Bodies, cfg: SimConfig) -> Pairs:
     dyn = dynamic[:, None] | dynamic[None, :]
 
     valid = tri & overlap_x & overlap_y & act & dyn
-    return _finish(ii, jj, valid, jnp.int32(0), cfg.max_pairs,
-                   n_cap=bodies.capacity)
+    return _finish(ii, jj, valid, cfg.max_pairs, n_cap=bodies.capacity)
 
 
 def _long_object_lane(bodies: Bodies, lo, hi, dynamic, k_long: int):
@@ -294,8 +336,8 @@ def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
     pi = jnp.concatenate([pi.reshape(-1), d_pi.reshape(-1)])
     pj = jnp.concatenate([pj.reshape(-1), d_pj.reshape(-1)])
     valid = jnp.concatenate([valid.reshape(-1), d_valid.reshape(-1)])
-    return _finish(pi, pj, valid, missed, cfg.max_pairs,
-                   n_cap=bodies.capacity)
+    return _finish(pi, pj, valid, cfg.max_pairs, n_cap=bodies.capacity,
+                   ovf_window=missed)
 
 
 def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
@@ -339,15 +381,23 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
     # band-boundary crossers are counted into overflow below
     swx_lo, swx_hi, n_cross, _ = banded_x(lo, hi, sweep_act, cfg)
     keys = jnp.where(sweep_act, swx_lo, jnp.float32(jnp.inf))
-    # The sweep columns ride through the sort as payload operands — a
-    # carried variadic sort beats argsort + a packed (N, 6) row gather
-    # (row gathers are row-serialized; see broadphase_sap_tiled).
-    _, sxlo, sylo, sxhi, syhi, sact_i, sdyn_i, order = jax.lax.sort(
-        (keys, swx_lo, lo[:, 1], swx_hi, hi[:, 1],
-         sweep_act.astype(jnp.int32), dynamic.astype(jnp.int32),
+    banded = cfg.sweep_band_h > 0.0
+    stxlo = stxhi = None
+    # The sweep columns ride through the sort as payload operands — the
+    # carried variadic sort beats (>=32k rows) or ties (16k) argsort +
+    # a packed row gather; fenced at five shapes in
+    # benches/micro_banded_sort.py (see the CARRY note atop this file).
+    tx = (lo[:, 0], hi[:, 0]) if banded else ()
+    out = jax.lax.sort(
+        (keys, swx_lo, lo[:, 1], swx_hi, hi[:, 1]) + tx +
+        (sweep_act.astype(jnp.int32), dynamic.astype(jnp.int32),
          jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    sact = sact_i > 0
-    sdyn = sdyn_i > 0
+    _, sxlo, sylo, sxhi, syhi = out[:5]
+    if banded:
+        stxlo, stxhi = out[5:7]
+    sact = out[-3] > 0
+    sdyn = out[-2] > 0
+    order = out[-1]
 
     INF = jnp.float32(jnp.inf)
     xlo_p = jnp.pad(sxlo, (0, w + 1), constant_values=INF)
@@ -357,6 +407,14 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
     dyn_p = jnp.pad(sdyn, (0, w + 1), constant_values=False)
     # target body ids arrive as contiguous slices of the sort permutation
     order_p = jnp.pad(order, (0, w + 1), constant_values=-1)
+    # banded: accept on TRUE x overlap too — the banded keys' rounding
+    # pad widens intervals by span * 2^-18 world units, which in dense
+    # scenes emits spurious same-band candidates that eat the pair
+    # budget (VERDICT r3 #2); the padded keys still gate band
+    # separation and window/overflow semantics
+    txlo_p = jnp.pad(stxlo, (0, w + 1), constant_values=INF) \
+        if banded else None
+    src_txhi = stxhi
 
     src_hix = sxhi
     src_loy = sylo
@@ -368,6 +426,8 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
         ok = ((sl(xlo_p) <= src_hix) & (sl(ylo_p) <= src_hiy)
               & (src_loy <= sl(yhi_p)) & sact & sl(act_p)
               & (sdyn | sl(dyn_p)))
+        if banded:
+            ok = ok & (sl(txlo_p) <= src_txhi)
         jid = sl(order_p)                    # body id of the d+1 neighbor
         tgt = tuple(
             jnp.where(ok & (count == h), jid, tgt[h]) for h in range(H))
@@ -394,8 +454,8 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
     pi = jnp.concatenate([pi.reshape(-1), d_pi.reshape(-1)])
     pj = jnp.concatenate([pj.reshape(-1), d_pj.reshape(-1)])
     vv = jnp.concatenate([valid.reshape(-1), d_valid.reshape(-1)])
-    return _finish(pi, pj, vv, missed + dropped + n_cross, cfg.max_pairs,
-                   n_cap=bodies.capacity)
+    return _finish(pi, pj, vv, cfg.max_pairs, n_cap=bodies.capacity,
+                   ovf_window=missed, ovf_slots=dropped, ovf_band=n_cross)
 
 
 def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
@@ -410,14 +470,15 @@ def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
     keys = jnp.where(bodies.active, lo[:, 0], jnp.float32(jnp.inf))
     iota = jnp.arange(n, dtype=jnp.int32)
     # AABB columns + dyn ride through the sort as payload operands (row
-    # gathers are row-serialized on this chip; see broadphase_sap_tiled)
+    # gathers are row-serialized on this chip; fenced at five shapes in
+    # benches/micro_banded_sort.py — see the CARRY note atop this file)
     _, sxlo, sylo, sxhi, syhi, sdyn, order = jax.lax.sort(
         (keys, lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1],
          (bodies.inv_mass > 0.0).astype(jnp.int32), iota), num_keys=1)
-    nact = bodies.active.sum(dtype=jnp.int32)
     aabb_sorted = jnp.stack(
         [sxlo, sylo, sxhi, syhi], axis=1).reshape(-1)
     dyn_sorted = sdyn
+    nact = bodies.active.sum(dtype=jnp.int32)
 
     if n % 1024 == 0:
         pi, pj, num, ovf = sweep_emit_v2(aabb_sorted, order, dyn_sorted,
@@ -431,7 +492,11 @@ def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
         pi, pj, num, ovf = sweep_emit(aabb_flat, order, dyn, nact,
                                       cfg.max_pairs)
     pi_s, pj_s = lex_sort_pairs(pi, pj, n)
-    return Pairs(pi=pi_s, pj=pj_s, valid=pi_s != EMPTY, num=num, overflow=ovf)
+    z = jnp.zeros((), jnp.int32)
+    # the emission kernel's single counter is buffer-full drops
+    return Pairs(pi=pi_s, pj=pj_s, valid=pi_s != EMPTY, num=num,
+                 overflow=ovf, ovf_window=z, ovf_slots=z, ovf_drop=ovf,
+                 ovf_band=z, ovf_slab=z)
 
 
 def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
@@ -456,6 +521,7 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     swx_lo, swx_hi, n_cross, bucket = banded_x(lo, hi, sweep_act, cfg)
     keys = jnp.where(sweep_act, swx_lo, jnp.float32(jnp.inf))
     segmented = cfg.sweep_band_rows > 0
+    banded = cfg.sweep_band_h > 0.0
 
     # The AABB columns + dyn flag ride THROUGH the sort as payload
     # operands instead of argsort + (N, 4) row gather: row gathers are
@@ -464,6 +530,11 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     # 2026-08-19: 3.30 -> 0.62 ms @ 264k rows, 7.15 -> 2.68 ms @ 1M).
     # x columns carry the (possibly banded) sweep intervals; y columns
     # stay TRUE y (the kernel's y-overlap test is exact either way).
+    # Banded sweeps additionally carry the TRUE x interval: the kernel
+    # WALKS on the padded banded keys but ACCEPTS on true-x overlap
+    # (exact_x), so the rounding pad can never inflate the emitted pair
+    # set (VERDICT r3 #2: the pad-inflated candidates saturated config
+    # E's pair budget and dropped real pairs).
     ids = jnp.arange(n, dtype=jnp.int32)
     if segmented:
         # Per-band batched sort (config.sweep_band_rows layout): same
@@ -483,6 +554,8 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
                 jnp.where(sweep_act, lo[:, 1], jnp.float32(jnp.inf)),
                 jnp.where(sweep_act, swx_hi, ninf),
                 jnp.where(sweep_act, hi[:, 1], ninf),
+                jnp.where(sweep_act, lo[:, 0], jnp.float32(jnp.inf)),
+                jnp.where(sweep_act, hi[:, 0], ninf),
                 dynamic.astype(jnp.int32), ids)
         R, B, X = (cfg.sweep_band_rows, cfg.sweep_band_n,
                    cfg.sweep_band_cols)
@@ -493,16 +566,25 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
         scols = jax.lax.sort(tcols, num_keys=1)
         scols = [jnp.concatenate([s.reshape(-1), c[head:]])
                  for s, c in zip(scols, cols)]
+        # Layout-contract accounting (ADVICE r3 #1): the home-band check
+        # is meaningful only for head rows (tail rows have no segment);
+        # active TAIL rows are appended unsorted after the segments,
+        # violating the sweep's sorted invariant, so they are counted
+        # into the band-overflow too instead of passing silently.
         home = ((ids // R) % B).astype(jnp.float32)
-        n_cross = n_cross + (sweep_act & (bucket != home)).sum(
-            dtype=jnp.int32)
+        in_head = ids < head
+        n_cross = (n_cross
+                   + (sweep_act & in_head & (bucket != home)).sum(
+                       dtype=jnp.int32)
+                   + (sweep_act & ~in_head).sum(dtype=jnp.int32))
         fill_row = (jnp.inf, jnp.inf, -jnp.inf, -jnp.inf)
     else:
         cols = (keys, swx_lo, lo[:, 1], swx_hi, hi[:, 1],
+                lo[:, 0], hi[:, 0],
                 dynamic.astype(jnp.int32), ids)
         scols = jax.lax.sort(cols, num_keys=1)
         fill_row = (jnp.inf, jnp.inf, jnp.inf, jnp.inf)
-    _, sxlo, sylo, sxhi, syhi, sdyn, order = scols
+    _, sxlo, sylo, sxhi, syhi, stxlo, stxhi, sdyn, order = scols
     nact = sweep_act.sum(dtype=jnp.int32)
 
     K = -(-cfg.tile_stride // 1024) * 1024     # i32 DMA tiling
@@ -524,9 +606,19 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
         [order, jnp.full(npad - n, EMPTY, jnp.int32)])
 
     mp = -(-cfg.max_pairs // 1024) * 1024
-    ppi, ppj, num_k, ovf = sweep_emit_tiled(
-        aabb_sorted, dyn_sorted, order_sorted, nact, mp, n_slabs, K, W)
-    ovf = ovf + n_cross
+    if banded:
+        pad2 = jnp.tile(jnp.array([jnp.inf, -jnp.inf], jnp.float32),
+                        (npad - n, 1)) if npad > n \
+            else jnp.zeros((0, 2), jnp.float32)
+        truex_sorted = jnp.concatenate(
+            [jnp.stack([stxlo, stxhi], axis=1), pad2]).reshape(-1)
+        ppi, ppj, num_k, ovf_d, ovf_w = sweep_emit_tiled(
+            aabb_sorted, dyn_sorted, order_sorted, nact, mp, n_slabs,
+            K, W, truex_sorted=truex_sorted, exact_x=True)
+    else:
+        ppi, ppj, num_k, ovf_d, ovf_w = sweep_emit_tiled(
+            aabb_sorted, dyn_sorted, order_sorted, nact, mp, n_slabs,
+            K, W)
     slot = jnp.arange(mp, dtype=jnp.int32)
     live = slot < num_k
     a = jnp.where(live, ppi, EMPTY)
@@ -537,12 +629,13 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     pi = jnp.concatenate([ki, d_pi.reshape(-1)])
     pj = jnp.concatenate([kj, d_pj.reshape(-1)])
     valid = jnp.concatenate([live, d_valid.reshape(-1)])
-    return _finish(pi, pj, valid, ovf, cfg.max_pairs,
-                   n_cap=bodies.capacity)
+    return _finish(pi, pj, valid, cfg.max_pairs, n_cap=bodies.capacity,
+                   ovf_window=ovf_w, ovf_drop=ovf_d, ovf_band=n_cross)
 
 
 def suggest_sap_window(bodies: Bodies, percentile: float = 99.9,
-                       margin: float = 1.5, exclude_long_k: int = 8) -> int:
+                       margin: float = 1.5, exclude_long_k: int = 8,
+                       cfg: SimConfig | None = None) -> int:
     """Host-side window-sizing policy for the windowed/grid sweeps
     (SURVEY.md §7 hard part #1: budget sizing from scene statistics).
 
@@ -553,6 +646,13 @@ def suggest_sap_window(bodies: Bodies, percentile: float = 99.9,
     times ``margin``.  Neighborhoods grow as scenes compact — keep
     watching ``stats.pair_overflow`` (or run under debug.checked_rollout),
     and resize when it fires.
+
+    Pass ``cfg`` when the sweep runs on BANDED keys (sweep_band_h > 0):
+    the spans are then measured on the banded x-keys the sweep actually
+    walks.  Measuring raw ``lo[:, 0]`` on a band-grid mega-scene sees
+    all y-bands interleaved and over-sizes the window ~bands-fold
+    (VERDICT r3 weak #4: settled config E read 3080 where the per-band
+    answer is ~200 — an ``--autotune`` consuming that would explode).
     """
     import numpy as np
 
@@ -564,8 +664,15 @@ def suggest_sap_window(bodies: Bodies, percentile: float = 99.9,
         return 16
     ext = np.where(act, hi[:, 0] - lo[:, 0], -np.inf)
     act[np.argsort(-ext)[:exclude_long_k]] = False
-    xlo = lo[act, 0]
-    xhi = hi[act, 0]
+    xlo = lo[act, 0].astype(np.float64)
+    xhi = hi[act, 0].astype(np.float64)
+    if cfg is not None and cfg.sweep_band_h > 0.0:
+        # spans on the banded keys (f64 on host: the statistic needs no
+        # pad and must not itself suffer the offset-add rounding)
+        b = np.floor((lo[act, 1] - cfg.sweep_band_y0) / cfg.sweep_band_h)
+        off = b * float(cfg.sweep_band_span)
+        xlo = xlo + off
+        xhi = xhi + off
     srt = np.argsort(xlo)
     xlo = xlo[srt]
     xhi = xhi[srt]

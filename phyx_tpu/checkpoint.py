@@ -47,6 +47,13 @@ def load(path: str, like: State) -> State:
         leaves = []
         for key, ref in arrays.items():
             if key not in data:
+                if key.startswith("stats/"):
+                    # stats counters are observability, not physics:
+                    # checkpoints written before a counter existed (e.g.
+                    # the round-4 per-cause overflow split) restore it
+                    # from ``like`` (zeros) instead of failing
+                    leaves.append(jax.numpy.asarray(ref))
+                    continue
                 raise KeyError(f"checkpoint missing field {key!r}")
             arr = data[key]
             if arr.shape != ref.shape:

@@ -115,9 +115,9 @@ class SimConfig:
     # velocity_tol as max(abs, rel*scale) if both set); position_rel_tol
     # gates the displacement passes on the same scale (the first
     # position iteration always runs).  Cold starts (zero warm impulses)
-    # never gate.  All backends except tiled honor these (the tiled
-    # kernel solves slab-by-slab; a global gate is documented future
-    # work and the 20k+/100k scenes never converge mid-bench anyway).
+    # never gate.  ALL backends honor these since round 4 (the tiled
+    # kernel gates at pass granularity: a converged pass still streams
+    # its DMA pipeline, ~100 us vs a ~58 ms sweep pass at mega scale).
     velocity_rel_tol: float = 0.0
     position_rel_tol: float = 0.0
 

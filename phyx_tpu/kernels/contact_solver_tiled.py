@@ -52,23 +52,40 @@ def _use_interpret() -> bool:
 
 
 def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
-                  cbps: int, jbps: int, window_rows: int, slab_stride: int):
+                  cbps: int, jbps: int, window_rows: int, slab_stride: int,
+                  vel_gated: bool = False, pos_gated: bool = False):
     """Pass p: 0 = warm start, 1..vel_iters = velocity, rest = position.
     Global order: pass -> slab -> contact blocks -> joint blocks
-    (sequential GS)."""
+    (sequential GS).
+
+    ``vel_gated``/``pos_gated`` (round 4, VERDICT r3 #4) compile the
+    residual-gated early exit the other backends got in round 3: every
+    velocity pass then records its residual, and once a pass's residual
+    falls below the RUNTIME threshold ``tol_ref[0]`` the remaining
+    velocity passes skip their sweeps (same for displacement passes vs
+    ``tol_ref[1]``).  The DMA pipeline (windows + contact blocks) still
+    streams on a skipped pass — at mega scale that is ~100 us against a
+    ~58 ms sweep pass, so a converged pass costs ~0.2% of a live one."""
 
     n_passes = 1 + vel_iters + pos_iters
     bps = cbps + jbps
     has_joints = jbps > 0
+    gated = vel_gated or pos_gated
+    total_per_pass_c = n_slabs * bps
 
     def kern(num_ref,                 # (2*n_slabs,) i32 SMEM live/slab (c, j)
+             tol_ref,                 # (2,) f32 SMEM [vel, pos] thresholds
              b1_hbm, b2_hbm, con_hbm, warm_hbm,   # ANY (HBM)
              body_io_hbm, body_hbm, acc_hbm, res_ref,
              win_ref, win_sem,        # SMEM window + DMA sem
+             conv_ref, pres_ref,      # SMEM (2,) i32 flags + (1,) f32
              b1_s, b2_s, con_s, warm_s, acc_s, sem_s, osem_s,
              b1_t, b2_t, con_t, warm_t, acc_t, sem_t, osem_t):
         del body_io_hbm
         res_ref[0] = 0.0
+        conv_ref[0] = 0
+        conv_ref[1] = 0
+        pres_ref[0] = 0.0
 
         set_a = (b1_s, b2_s, con_s, warm_s, acc_s, sem_s, osem_s)
         set_b = (b1_t, b2_t, con_t, warm_t, acc_t, sem_t, osem_t)
@@ -246,49 +263,56 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
         vel_sweep = make_vel_sweep(True)
         vel_sweep_nores = make_vel_sweep(False)
 
-        def pos_sweep(bufs, base8, cnt):
-            b1r, b2r, conr, warmr, accr = bufs[:5]
+        def make_pos_sweep(with_pres):
+            def pos_sweep(bufs, base8, cnt):
+                b1r, b2r, conr, warmr, accr = bufs[:5]
 
-            def one(k, _):
-                cb = k * 12
-                nx = conr[cb]
-                ny = conr[cb + 1]
-                r1x = conr[cb + 2]
-                r1y = conr[cb + 3]
-                r2x = conr[cb + 4]
-                r2y = conr[cb + 5]
-                mn = conr[cb + 6]
-                ddv = conr[cb + 10]
-                i = b1r[k] - base8
-                j = b2r[k] - base8
-                im1 = win_ref[i + 3]
-                ii1 = win_ref[i + 4]
-                im2 = win_ref[j + 3]
-                ii2 = win_ref[j + 4]
-                px1 = win_ref[i + 5]
-                py1 = win_ref[i + 6]
-                q1 = win_ref[i + 7]
-                px2 = win_ref[j + 5]
-                py2 = win_ref[j + 6]
-                q2 = win_ref[j + 7]
-                dvx = px2 - q2 * r2y - px1 + q1 * r1y
-                dvy = py2 + q2 * r2x - py1 - q1 * r1x
-                vn = nx * dvx + ny * dvy
-                d = (ddv - vn) * mn
-                a = accr[k * 4 + 2]
-                na = jnp.maximum(a + d, 0.0)
-                d = na - a
-                accr[k * 4 + 2] = na
-                ix = nx * d
-                iy = ny * d
-                win_ref[i + 5] = px1 - ix * im1
-                win_ref[i + 6] = py1 - iy * im1
-                win_ref[i + 7] = q1 - ii1 * (r1x * iy - r1y * ix)
-                win_ref[j + 5] = px2 + ix * im2
-                win_ref[j + 6] = py2 + iy * im2
-                win_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
-                return 0
-            unroll2(one, cnt)
+                def one(k, _):
+                    cb = k * 12
+                    nx = conr[cb]
+                    ny = conr[cb + 1]
+                    r1x = conr[cb + 2]
+                    r1y = conr[cb + 3]
+                    r2x = conr[cb + 4]
+                    r2y = conr[cb + 5]
+                    mn = conr[cb + 6]
+                    ddv = conr[cb + 10]
+                    i = b1r[k] - base8
+                    j = b2r[k] - base8
+                    im1 = win_ref[i + 3]
+                    ii1 = win_ref[i + 4]
+                    im2 = win_ref[j + 3]
+                    ii2 = win_ref[j + 4]
+                    px1 = win_ref[i + 5]
+                    py1 = win_ref[i + 6]
+                    q1 = win_ref[i + 7]
+                    px2 = win_ref[j + 5]
+                    py2 = win_ref[j + 6]
+                    q2 = win_ref[j + 7]
+                    dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                    dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                    vn = nx * dvx + ny * dvy
+                    d = (ddv - vn) * mn
+                    a = accr[k * 4 + 2]
+                    na = jnp.maximum(a + d, 0.0)
+                    d = na - a
+                    accr[k * 4 + 2] = na
+                    ix = nx * d
+                    iy = ny * d
+                    win_ref[i + 5] = px1 - ix * im1
+                    win_ref[i + 6] = py1 - iy * im1
+                    win_ref[i + 7] = q1 - ii1 * (r1x * iy - r1y * ix)
+                    win_ref[j + 5] = px2 + ix * im2
+                    win_ref[j + 6] = py2 + iy * im2
+                    win_ref[j + 7] = q2 + ii2 * (r2x * iy - r2y * ix)
+                    if with_pres:
+                        pres_ref[0] = jnp.maximum(pres_ref[0], jnp.abs(d))
+                    return 0
+                unroll2(one, cnt)
+
+            return pos_sweep
+
+        pos_sweep = make_pos_sweep(pos_gated)
 
         # --- user-joint sweeps (row encodings: joints.py; math mirrors
         # the streamed kernel's joint sweeps, window-local indices) ---
@@ -380,44 +404,53 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
         joint_vel_sweep = make_joint_vel_sweep(True)
         joint_vel_sweep_nores = make_joint_vel_sweep(False)
 
-        def joint_pos_sweep(bufs, base8, cnt):
-            b1r, b2r, conr, warmr, accr = bufs[:5]
+        def make_joint_pos_sweep(with_pres):
+            def joint_pos_sweep(bufs, base8, cnt):
+                b1r, b2r, conr, warmr, accr = bufs[:5]
 
-            def one(k, _):
-                cb = k * 12
-                is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
-                i = b1r[k] - base8
-                j = b2r[k] - base8
-                px1 = win_ref[i + 5]
-                py1 = win_ref[i + 6]
-                q1 = win_ref[i + 7]
-                px2 = win_ref[j + 5]
-                py2 = win_ref[j + 6]
-                q2 = win_ref[j + 7]
-                dvx = px2 - q2 * r2y - px1 + q1 * r1y
-                dvy = py2 + q2 * r2x - py1 - q1 * r1x
-                m00 = conr[cb + 4]
-                m01 = conr[cb + 5]
-                m11 = conr[cb + 6]
-                dstx = conr[cb + 7]
-                dsty = conr[cb + 8]
-                ex = dstx - dvx
-                ey = dsty - dvy
-                px_r = m00 * ex + m01 * ey
-                py_r = m01 * ex + m11 * ey
-                nx = conr[cb]
-                ny = conr[cb + 1]
-                dd = conr[cb + 6] * (conr[cb + 7]
-                                     - (nx * dvx + ny * dvy))
-                px = jnp.where(is_rev, px_r, nx * dd)
-                py = jnp.where(is_rev, py_r, ny * dd)
-                accr[k * 4 + 2] = accr[k * 4 + 2] + jnp.where(
-                    is_rev, px, dd)
-                accr[k * 4 + 3] = accr[k * 4 + 3] + jnp.where(
-                    is_rev, py, 0.0)
-                joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 5)
-                return 0
-            jax.lax.fori_loop(0, cnt, one, 0)
+                def one(k, _):
+                    cb = k * 12
+                    is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
+                    i = b1r[k] - base8
+                    j = b2r[k] - base8
+                    px1 = win_ref[i + 5]
+                    py1 = win_ref[i + 6]
+                    q1 = win_ref[i + 7]
+                    px2 = win_ref[j + 5]
+                    py2 = win_ref[j + 6]
+                    q2 = win_ref[j + 7]
+                    dvx = px2 - q2 * r2y - px1 + q1 * r1y
+                    dvy = py2 + q2 * r2x - py1 - q1 * r1x
+                    m00 = conr[cb + 4]
+                    m01 = conr[cb + 5]
+                    m11 = conr[cb + 6]
+                    dstx = conr[cb + 7]
+                    dsty = conr[cb + 8]
+                    ex = dstx - dvx
+                    ey = dsty - dvy
+                    px_r = m00 * ex + m01 * ey
+                    py_r = m01 * ex + m11 * ey
+                    nx = conr[cb]
+                    ny = conr[cb + 1]
+                    dd = conr[cb + 6] * (conr[cb + 7]
+                                         - (nx * dvx + ny * dvy))
+                    px = jnp.where(is_rev, px_r, nx * dd)
+                    py = jnp.where(is_rev, py_r, ny * dd)
+                    accr[k * 4 + 2] = accr[k * 4 + 2] + jnp.where(
+                        is_rev, px, dd)
+                    accr[k * 4 + 3] = accr[k * 4 + 3] + jnp.where(
+                        is_rev, py, 0.0)
+                    joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 5)
+                    if with_pres:
+                        pres_ref[0] = jnp.maximum(
+                            pres_ref[0],
+                            jnp.maximum(jnp.abs(px), jnp.abs(py)))
+                    return 0
+                jax.lax.fori_loop(0, cnt, one, 0)
+
+            return joint_pos_sweep
+
+        joint_pos_sweep = make_joint_pos_sweep(pos_gated)
 
         # --- orchestration: pass -> slab -> block; contact double-buffer
         # across blocks, synchronous window DMA per (pass, slab) ---
@@ -438,18 +471,6 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
 
             wait_block(cur, blk)
 
-            # The residual is reported for the LAST velocity pass only, so
-            # earlier velocity passes run the no-residual sweep variant
-            # (~6 fewer ops per live visit).
-            @pl.when((blk == 0) & (p == vel_iters))
-            def _():
-                res_ref[0] = 0.0
-
-            # 0 warm, 1 velocity (no residual), 2 last velocity, 3 position
-            kind = jnp.where(
-                p == 0, 0,
-                jnp.where(p < vel_iters, 1,
-                          jnp.where(p == vel_iters, 2, 3)))
             if has_joints:
                 is_j = (bi >= cbps).astype(jnp.int32)
                 cnt = jnp.where(
@@ -457,24 +478,113 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     jnp.clip(num_ref[n_slabs + s] - (bi - cbps) * BLK,
                              0, BLK),
                     jnp.clip(num_ref[s] - bi * BLK, 0, BLK))
-                jax.lax.switch(kind + 4 * is_j, [
-                    lambda: warm_sweep(cur, base8, cnt),
-                    lambda: vel_sweep_nores(cur, base8, cnt),
-                    lambda: vel_sweep(cur, base8, cnt),
-                    lambda: pos_sweep(cur, base8, cnt),
-                    lambda: joint_warm_sweep(cur, base8, cnt),
-                    lambda: joint_vel_sweep_nores(cur, base8, cnt),
-                    lambda: joint_vel_sweep(cur, base8, cnt),
-                    lambda: joint_pos_sweep(cur, base8, cnt),
-                ])
             else:
+                is_j = None
                 cnt = jnp.clip(num_ref[s] - bi * BLK, 0, BLK)
-                jax.lax.switch(kind, [
-                    lambda: warm_sweep(cur, base8, cnt),
-                    lambda: vel_sweep_nores(cur, base8, cnt),
-                    lambda: vel_sweep(cur, base8, cnt),
-                    lambda: pos_sweep(cur, base8, cnt),
-                ])
+
+            if gated:
+                # Residual-gated mode: EVERY velocity pass records the
+                # residual (the gate reads it); reset at each pass start
+                # unless already converged.  Runtime thresholds from
+                # tol_ref (0.0 never fires).
+                @pl.when((blk == 0) & (p >= 1) & (p <= vel_iters)
+                         & (conv_ref[0] == 0))
+                def _():
+                    res_ref[0] = 0.0
+
+                if pos_gated:
+                    @pl.when((blk == 0) & (p > vel_iters)
+                             & (conv_ref[1] == 0))
+                    def _():
+                        pres_ref[0] = 0.0
+
+                # 0 warm, 1 velocity (with residual), 2 position
+                kind = jnp.where(p == 0, 0,
+                                 jnp.where(p <= vel_iters, 1, 2))
+
+                def gated_vel(f):
+                    # skip the SWEEP once converged; the DMA pipeline
+                    # (windows + blocks) streams on regardless — ~100 us
+                    # against a ~58 ms sweep pass at mega scale
+                    @pl.when(conv_ref[0] == 0)
+                    def _():
+                        f()
+
+                def gated_pos(f):
+                    if not pos_gated:
+                        f()
+                        return
+
+                    @pl.when(conv_ref[1] == 0)
+                    def _():
+                        f()
+
+                if has_joints:
+                    jax.lax.switch(kind + 3 * is_j, [
+                        lambda: warm_sweep(cur, base8, cnt),
+                        lambda: gated_vel(
+                            lambda: vel_sweep(cur, base8, cnt)),
+                        lambda: gated_pos(
+                            lambda: pos_sweep(cur, base8, cnt)),
+                        lambda: joint_warm_sweep(cur, base8, cnt),
+                        lambda: gated_vel(
+                            lambda: joint_vel_sweep(cur, base8, cnt)),
+                        lambda: gated_pos(
+                            lambda: joint_pos_sweep(cur, base8, cnt)),
+                    ])
+                else:
+                    jax.lax.switch(kind, [
+                        lambda: warm_sweep(cur, base8, cnt),
+                        lambda: gated_vel(
+                            lambda: vel_sweep(cur, base8, cnt)),
+                        lambda: gated_pos(
+                            lambda: pos_sweep(cur, base8, cnt)),
+                    ])
+
+                # end of a velocity/position pass: latch convergence
+                @pl.when((blk == total_per_pass_c - 1) & (p >= 1)
+                         & (p <= vel_iters) & (res_ref[0] < tol_ref[0]))
+                def _():
+                    conv_ref[0] = 1
+
+                if pos_gated:
+                    @pl.when((blk == total_per_pass_c - 1)
+                             & (p > vel_iters)
+                             & (pres_ref[0] < tol_ref[1]))
+                    def _():
+                        conv_ref[1] = 1
+            else:
+                # Fixed-count mode: the residual is reported for the LAST
+                # velocity pass only, so earlier velocity passes run the
+                # no-residual sweep variant (~6 fewer ops per live visit).
+                @pl.when((blk == 0) & (p == vel_iters))
+                def _():
+                    res_ref[0] = 0.0
+
+                # 0 warm, 1 velocity (no residual), 2 last velocity,
+                # 3 position
+                kind = jnp.where(
+                    p == 0, 0,
+                    jnp.where(p < vel_iters, 1,
+                              jnp.where(p == vel_iters, 2, 3)))
+                if has_joints:
+                    jax.lax.switch(kind + 4 * is_j, [
+                        lambda: warm_sweep(cur, base8, cnt),
+                        lambda: vel_sweep_nores(cur, base8, cnt),
+                        lambda: vel_sweep(cur, base8, cnt),
+                        lambda: pos_sweep(cur, base8, cnt),
+                        lambda: joint_warm_sweep(cur, base8, cnt),
+                        lambda: joint_vel_sweep_nores(cur, base8, cnt),
+                        lambda: joint_vel_sweep(cur, base8, cnt),
+                        lambda: joint_pos_sweep(cur, base8, cnt),
+                    ])
+                else:
+                    jax.lax.switch(kind, [
+                        lambda: warm_sweep(cur, base8, cnt),
+                        lambda: vel_sweep_nores(cur, base8, cnt),
+                        lambda: vel_sweep(cur, base8, cnt),
+                        lambda: pos_sweep(cur, base8, cnt),
+                    ])
 
             acc_out_copy(cur, blk).start()
 
@@ -542,7 +652,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
 
 @functools.partial(jax.jit, static_argnames=("vel_iters", "pos_iters",
                                              "n_slabs", "slab_stride",
-                                             "window_rows", "jbps"))
+                                             "window_rows", "jbps",
+                                             "vel_gated", "pos_gated"))
 def solve_contacts_tiled(
     body_flat: jax.Array,    # (Npad*8,) f32, x-rank permuted, Npad mult 128
     b1: jax.Array,           # (S,) int32 rank-space, slab-sorted+padded
@@ -556,11 +667,19 @@ def solve_contacts_tiled(
     slab_stride: int,        # rows between slab window starts (mult 128)
     window_rows: int,        # rows per window (mult 128)
     jbps: int = 0,           # joint blocks per slab (after the contacts)
+    vel_gated: bool = False,
+    pos_gated: bool = False,
+    tols: jax.Array | None = None,  # (2,) f32 [vel, pos] thresholds
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (body_flat', acc (S*4,), residual (1,)).
 
     Slot layout per slab: ``cbps`` contact blocks then ``jbps`` joint
-    blocks, where cbps = S/(n_slabs*BLK) - jbps."""
+    blocks, where cbps = S/(n_slabs*BLK) - jbps.
+
+    ``vel_gated``/``pos_gated`` compile the residual-gated early exit
+    (VERDICT r3 #4 — the tiled kernel was the last backend without it);
+    the runtime thresholds in ``tols`` (solver.velocity_threshold /
+    position_threshold) gate without recompiling (0.0 never fires)."""
     s_cap = b1.shape[0]
     assert s_cap % (n_slabs * BLK) == 0
     bps = s_cap // (n_slabs * BLK)
@@ -568,8 +687,10 @@ def solve_contacts_tiled(
     assert cbps >= 1
     npad = body_flat.shape[0] // 8
     assert (n_slabs - 1) * slab_stride + window_rows <= npad
+    if tols is None:
+        tols = jnp.zeros((2,), jnp.float32)
     kern = _tiled_kernel(vel_iters, pos_iters, n_slabs, cbps, jbps,
-                         window_rows, slab_stride)
+                         window_rows, slab_stride, vel_gated, pos_gated)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -591,12 +712,15 @@ def solve_contacts_tiled(
             jax.ShapeDtypeStruct((s_cap * 4,), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
-        in_specs=[smem, anyspec, anyspec, anyspec, anyspec, anyspec],
+        in_specs=[smem, smem, anyspec, anyspec, anyspec, anyspec, anyspec],
         out_specs=(anyspec, anyspec, smem),
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         scratch_shapes=([pltpu.SMEM((window_rows * 8,), jnp.float32),
-                         pltpu.SemaphoreType.DMA]
+                         pltpu.SemaphoreType.DMA,
+                         pltpu.SMEM((2,), jnp.int32),
+                         pltpu.SMEM((1,), jnp.float32)]
                         + bufset() + bufset()),
         interpret=_use_interpret(),
-    )(slab_counts.astype(jnp.int32), b1, b2, con_flat, warm_flat, body_flat)
+    )(slab_counts.astype(jnp.int32), tols, b1, b2, con_flat, warm_flat,
+      body_flat)
     return body_out, acc, res

@@ -109,7 +109,8 @@ def sweep_emit(aabb_flat: jax.Array,   # (N*4,) f32 [lox, loy, hix, hiy]
 
 
 @functools.partial(jax.jit, static_argnames=("max_pairs", "n_slabs",
-                                             "slab_stride", "window_rows"))
+                                             "slab_stride", "window_rows",
+                                             "exact_x"))
 def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                      dyn_sorted: jax.Array,   # (Npad,) i32
                      order_sorted: jax.Array,  # (Npad,) i32 body id per row
@@ -118,7 +119,10 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                      n_slabs: int,
                      slab_stride: int,        # mult of 256 (f32 DMA tile/4)
                      window_rows: int,        # mult of 256
-                     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+                     truex_sorted: jax.Array | None = None,  # (Npad*2,) f32
+                     exact_x: bool = False,
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                jax.Array, jax.Array]:
     """Sweep & prune over x-sorted AABBs with slab-windowed SMEM residency
     and HBM pair emission through an SMEM staging buffer.
 
@@ -131,7 +135,25 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
     that is still x-open at the window end increments the missed counter,
     exactly like the windowed XLA sweep's truncation accounting.
 
-    Returns (pi, pj, num, overflow) with body ids, EMPTY beyond num.
+    ``exact_x`` (banded sweeps, VERDICT r3 #2): the x columns of
+    ``aabb_sorted`` then hold BANDED keys whose hi end is inflated by the
+    rounding pad (broadphase.banded_x) — the pad must govern the WALK
+    (never stop early on f32 rounding) but must NOT emit pairs whose
+    true x-intervals are disjoint: at a 16384-unit band span the pad is
+    0.0625 world units, which in a settled dense pile roughly DOUBLES
+    the candidates and saturated the pair budget (measured: config E
+    penetration 1.018 vs 0.013).  With ``exact_x`` the kernel also
+    windows ``truex_sorted`` ([tlo, thi] interleaved) and ACCEPTS only
+    pairs whose true x-intervals overlap (one extra SMEM load per
+    visit).  The forward test ``tlo[j] <= thi[k]`` cannot produce false
+    negatives (true overlap implies it); the reverse direction is
+    guaranteed by band-local sort order up to the rounding pad, which is
+    far below any body extent.
+
+    Returns (pi, pj, num, ovf_drop, ovf_window) with body ids, EMPTY
+    beyond num; ovf_drop counts buffer-full drops (grow max_pairs),
+    ovf_window counts sweeps still x-open at the window end (grow
+    tile_halo).
     """
     npad = dyn_sorted.shape[0]
     assert npad >= (n_slabs - 1) * slab_stride + window_rows
@@ -139,11 +161,20 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
     # i32 1D DMA tiling: strides, window and pair buffer all 1024-aligned
     assert slab_stride % 1024 == 0 and window_rows % 1024 == 0
     assert max_pairs % 1024 == 0
+    if exact_x:
+        assert truex_sorted is not None and \
+            truex_sorted.shape[0] == npad * 2
     STAGE = 1024   # staging pairs; flush granularity (i32 DMA tile)
 
-    def kern(nact_ref, aabb_hbm, dyn_hbm, ord_hbm, pi_hbm, pj_hbm,
-             cnt_ref, ovf_ref,
-             aabb_s, dyn_s, ord_s, win_sem, pi_st, pj_st, st_sem):
+    def kern(nact_ref, aabb_hbm, dyn_hbm, ord_hbm, *rest):
+        if exact_x:
+            (tx_hbm, pi_hbm, pj_hbm, cnt_ref, ovf_ref, ovfw_ref,
+             aabb_s, dyn_s, ord_s, tx_s, win_sem, pi_st, pj_st,
+             st_sem) = rest
+        else:
+            (pi_hbm, pj_hbm, cnt_ref, ovf_ref, ovfw_ref,
+             aabb_s, dyn_s, ord_s, win_sem, pi_st, pj_st, st_sem) = rest
+            tx_hbm = tx_s = None
         na = nact_ref[0]
 
         def flush(cnt, fill):
@@ -158,7 +189,7 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
             cp1.wait(); cp2.wait()
 
         def slab_body(s, carry):
-            cnt, ovf = carry
+            cnt, ovf, ovfw = carry
             base = s * slab_stride
             cpa = pltpu.make_async_copy(
                 aabb_hbm.at[pl.ds(pl.multiple_of(base * 4, 1024),
@@ -172,15 +203,21 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                 ord_hbm.at[pl.ds(pl.multiple_of(base, 1024), window_rows)],
                 ord_s, win_sem)
             cpo.start(); cpo.wait()
+            if exact_x:
+                cpt = pltpu.make_async_copy(
+                    tx_hbm.at[pl.ds(pl.multiple_of(base * 2, 1024),
+                                    window_rows * 2)], tx_s, win_sem)
+                cpt.start(); cpt.wait()
 
             k_hi = jnp.minimum(slab_stride, na - base)
 
             def outer(k, carry):
-                cnt, ovf = carry
+                cnt, ovf, ovfw = carry
                 hix = aabb_s[k * 4 + 2]
                 loy = aabb_s[k * 4 + 1]
                 hiy = aabb_s[k * 4 + 3]
                 di = dyn_s[k]
+                t_hix = tx_s[k * 2 + 1] if exact_x else None
 
                 def cond(state):
                     j, cnt, ovf = state
@@ -194,6 +231,11 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                         jnp.logical_and(aabb_s[j * 4 + 1] <= hiy,
                                         loy <= aabb_s[j * 4 + 3]),
                         (di + dyn_s[j]) > 0)
+                    if exact_x:
+                        # true-x accept: pad-inflated walk candidates
+                        # whose real intervals are disjoint die here
+                        # instead of eating pair-buffer slots
+                        ok = jnp.logical_and(ok, tx_s[j * 2] <= t_hix)
                     fits = jnp.logical_and(ok, cnt < max_pairs)
 
                     @pl.when(fits)
@@ -219,14 +261,15 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                     j >= window_rows,
                     jnp.logical_and(base + j < na,
                                     aabb_s[(window_rows - 1) * 4] <= hix))
-                ovf = ovf + jnp.where(still_open, 1, 0)
-                return cnt, ovf
+                ovfw = ovfw + jnp.where(still_open, 1, 0)
+                return cnt, ovf, ovfw
 
             return jax.lax.fori_loop(0, jnp.maximum(k_hi, 0), outer,
-                                     (cnt, ovf))
+                                     (cnt, ovf, ovfw))
 
-        cnt, ovf = jax.lax.fori_loop(0, n_slabs, slab_body,
-                                     (jnp.int32(0), jnp.int32(0)))
+        cnt, ovf, ovfw = jax.lax.fori_loop(
+            0, n_slabs, slab_body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
         # pad the tail of the final staging block with EMPTY, flush it
         def pad(k, _):
@@ -243,32 +286,42 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
 
         cnt_ref[0] = cnt
         ovf_ref[0] = ovf
+        ovfw_ref[0] = ovfw
 
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    pi, pj, cnt, ovf = pl.pallas_call(
+    scratch = [
+        pltpu.SMEM((window_rows * 4,), jnp.float32),
+        pltpu.SMEM((window_rows,), jnp.int32),
+        pltpu.SMEM((window_rows,), jnp.int32),
+    ]
+    if exact_x:
+        scratch.append(pltpu.SMEM((window_rows * 2,), jnp.float32))
+    scratch += [
+        pltpu.SemaphoreType.DMA,
+        pltpu.SMEM((STAGE,), jnp.int32),
+        pltpu.SMEM((STAGE,), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    operands = [jnp.reshape(nact.astype(jnp.int32), (1,)), aabb_sorted,
+                dyn_sorted, order_sorted.astype(jnp.int32)]
+    if exact_x:
+        operands.append(truex_sorted)
+    pi, pj, cnt, ovf, ovfw = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((max_pairs,), jnp.int32),
             jax.ShapeDtypeStruct((max_pairs,), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
-        in_specs=[smem, anyspec, anyspec, anyspec],
-        out_specs=(anyspec, anyspec, smem, smem),
-        scratch_shapes=[
-            pltpu.SMEM((window_rows * 4,), jnp.float32),
-            pltpu.SMEM((window_rows,), jnp.int32),
-            pltpu.SMEM((window_rows,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SMEM((STAGE,), jnp.int32),
-            pltpu.SMEM((STAGE,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=[smem] + [anyspec] * (4 if exact_x else 3),
+        out_specs=(anyspec, anyspec, smem, smem, smem),
+        scratch_shapes=scratch,
         interpret=_use_interpret(),
-    )(jnp.reshape(nact.astype(jnp.int32), (1,)), aabb_sorted, dyn_sorted,
-      order_sorted.astype(jnp.int32))
-    return pi, pj, cnt[0], ovf[0]
+    )(*operands)
+    return pi, pj, cnt[0], ovf[0], ovfw[0]
 
 
 @functools.partial(jax.jit, static_argnames=("max_pairs",))

@@ -34,6 +34,14 @@ def snapshot(state: State) -> dict:
         "num_contacts": int(s.num_contacts),
         "pair_overflow": int(s.pair_overflow),
         "halo_overflow": int(s.halo_overflow),
+        # per-cause breakdown of pair_overflow (VERDICT r3 #3): which
+        # budget to grow — window/tile_halo, sap_hits, max_pairs, band
+        # layout, tile_halo (solver slabs) respectively
+        "ovf_window": int(s.ovf_window),
+        "ovf_slots": int(s.ovf_slots),
+        "ovf_drop": int(s.ovf_drop),
+        "ovf_band": int(s.ovf_band),
+        "ovf_slab": int(s.ovf_slab),
         "max_penetration": float(s.max_penetration),
         "residual": float(s.residual),
         "momentum_x": float(momentum[0]),

@@ -109,3 +109,68 @@ def sharded_env_step(cfg: SimConfig, mesh: Mesh, axis: str = "env"):
         return jax.lax.with_sharding_constraint(out, sharding)
 
     return _vstep
+
+
+def concat_envs_grouped(builders: Sequence[SceneBuilder], cfg: SimConfig,
+                        n_groups: int, band_width: float = 1.0e4,
+                        y_bands: int = 1, band_height: float = 0.0):
+    """Split envs into ``n_groups`` contiguous groups, concat each group
+    into its own mega-scene, and stack the group states on a leading axis
+    for ``sharded_mega_step`` (VERDICT r3 #6: the multi-chip form of the
+    flagship mega-scene path).
+
+    ``cfg`` sizes ONE group (max_bodies >= bodies of len(builders) /
+    n_groups envs).  Returns ``(stacked_state, env_slices, offsets)``
+    where ``env_slices[g][e]`` / ``offsets[g][e]`` locate env e of group
+    g inside that group's body arrays (same contract as concat_envs).
+    """
+    if len(builders) % n_groups:
+        raise ValueError(
+            f"{len(builders)} envs not divisible by {n_groups} groups")
+    per = len(builders) // n_groups
+    states, slices, offsets = [], [], []
+    for g in range(n_groups):
+        mega, sl, off = concat_envs(
+            builders[g * per:(g + 1) * per], cfg, band_width=band_width,
+            y_bands=y_bands, band_height=band_height)
+        states.append(mega.build())
+        slices.append(sl)
+        offsets.append(off)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    return stacked, slices, offsets
+
+
+def sharded_mega_step(cfg: SimConfig, mesh: Mesh, axis: str = "env",
+                      num_steps: int = 1):
+    """Multi-chip scale-out of the MEGA-SCENE path: one per-device
+    mega-scene (a group of envs) advanced by the unmodified single-chip
+    ``step`` under ``jax.shard_map`` (VERDICT r3 #6).
+
+    Unlike ``sharded_env_step`` (vmap: XLA solver only) this runs the
+    Pallas backends — the same way parallel/spatial.py proves Pallas
+    composes with shard_map — and unlike spatial sharding it needs NO
+    halo exchange: env groups are disjoint by construction (concat_envs
+    band layout), so the step body contains zero collectives; stats stay
+    per-group (leading axis ``n_groups``), aggregate on the host.
+
+    Returns a jitted ``stacked_state -> stacked_state`` advancing
+    ``num_steps`` frames per call (one lax.scan inside the shard).
+    Build the input with ``concat_envs_grouped`` and ``device_put`` it
+    with ``NamedSharding(mesh, P(axis))`` (or let jit move it).
+    """
+    spec = P(axis)
+
+    def local_chunk(st: State) -> State:
+        st = jax.tree.map(lambda a: a[0], st)   # drop the size-1 shard dim
+
+        def one(s, _):
+            return step(s, cfg), None
+
+        out, _ = jax.lax.scan(one, st, None, length=num_steps)
+        return jax.tree.map(lambda a: a[None], out)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # metadata (same reason parallel/spatial.py disables it)
+    shmapped = jax.shard_map(local_chunk, mesh=mesh, in_specs=spec,
+                             out_specs=spec, check_vma=False)
+    return jax.jit(shmapped)

@@ -393,6 +393,11 @@ def _spatial_rollout_fn(local_cfg: SimConfig, mesh: Mesh, dims: SpatialDims,
             max_penetration=jax.lax.pmax(out.stats.max_penetration, axis),
             residual=jax.lax.pmax(out.stats.residual, axis),
             halo_overflow=jax.lax.psum(out.stats.halo_overflow, axis),
+            ovf_window=jax.lax.psum(out.stats.ovf_window, axis),
+            ovf_slots=jax.lax.psum(out.stats.ovf_slots, axis),
+            ovf_drop=jax.lax.psum(out.stats.ovf_drop, axis),
+            ovf_band=jax.lax.psum(out.stats.ovf_band, axis),
+            ovf_slab=jax.lax.psum(out.stats.ovf_slab, axis),
         )
         out = out.replace(stats=stats)
         return jax.tree.map(lambda a: a[None], out)

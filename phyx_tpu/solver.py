@@ -642,11 +642,22 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     # pre-scaled to row offsets (see solve_pallas): sweeps use b - base*8
     t_b1 = t_b1 * 8
     t_b2 = t_b2 * 8
+    # Residual gates (round 4, VERDICT r3 #4 — the tiled kernel was the
+    # last backend without them): static compile flags + runtime
+    # scale-normalized thresholds, same scheme as solve_pallas above.
+    vel_gated = cfg.velocity_tol > 0.0 or cfg.velocity_rel_tol > 0.0
+    pos_gated = cfg.position_rel_tol > 0.0
+    tols = None
+    if vel_gated or pos_gated:
+        jw = joint_warm if j_cap else None
+        tols = jnp.stack([velocity_threshold(cfg, contacts, jw),
+                          position_threshold(cfg, contacts, jw)])
     body_out, acc, res = solve_contacts_tiled(
         embedded.reshape(-1), t_b1, t_b2, t_con.reshape(-1),
         t_warm.reshape(-1), slab_counts,
         cfg.velocity_iterations, cfg.position_iterations,
-        n_slabs, K, W, jbps=jbps)
+        n_slabs, K, W, jbps=jbps, vel_gated=vel_gated,
+        pos_gated=pos_gated, tols=tols)
 
     # un-embed bodies
     body_out = body_out.reshape(npad, 8)

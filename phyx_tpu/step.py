@@ -82,9 +82,8 @@ def exclude_joint_pairs(pairs, joints, n_cap=None):
     pi = jnp.where(hit, EMPTY, pairs.pi)
     pj = jnp.where(hit, EMPTY, pairs.pj)
     pi, pj = _sort(pi, pj)
-    return Pairs(pi=pi, pj=pj, valid=pi != EMPTY,
-                 num=pairs.num - hit.sum(dtype=jnp.int32),
-                 overflow=pairs.overflow)
+    return pairs.replace(pi=pi, pj=pj, valid=pi != EMPTY,
+                         num=pairs.num - hit.sum(dtype=jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -118,6 +117,11 @@ def step(state: State, cfg: SimConfig) -> State:
             jnp.where(contacts.valid, contacts.penetration, 0.0)),
         residual=residual,
         halo_overflow=state.stats.halo_overflow,  # set by spatial sharding
+        ovf_window=pairs.ovf_window,
+        ovf_slots=pairs.ovf_slots,
+        ovf_drop=pairs.ovf_drop,
+        ovf_band=pairs.ovf_band,
+        ovf_slab=pairs.ovf_slab,
     )
     return State(bodies=bodies, joints=joints_out, cache=cache, stats=stats)
 
@@ -192,7 +196,8 @@ def solve_stage(bodies: Bodies, contacts, pairs, joints,
                 bodies, contacts, xorder, cfg,
                 joints=joints if j_cap else None,
                 joint_rows=joint_rows, joint_warm=joint_warm)
-            pairs = pairs.replace(overflow=pairs.overflow + tiled_ovf)
+            pairs = pairs.replace(overflow=pairs.overflow + tiled_ovf,
+                                  ovf_slab=pairs.ovf_slab + tiled_ovf)
         else:
             # Compact live contacts to the front (stable, so the sweep
             # order of valid rows is unchanged): the serial kernel then

@@ -63,7 +63,7 @@ def tune_config(state: State, cfg: SimConfig, margin: float = 1.5,
     solver semantics (iteration counts, tolerances) are never touched.
     Returns a new frozen SimConfig; == cfg when nothing needs resizing.
     """
-    window = int(suggest_sap_window(state.bodies, margin=margin))
+    window = int(suggest_sap_window(state.bodies, margin=margin, cfg=cfg))
     window = max(16, -(-window // 8) * 8)
 
     # per-body forward-hit distribution: how many of a body's live pairs
@@ -126,6 +126,28 @@ def rollout_autotuned(state: State, cfg: SimConfig, num_steps: int,
         esc = 1.5 ** stuck
         cfg2 = tune_config(state, cfg, margin=margin * esc,
                            pair_margin=pair_margin * esc)
+        # Cause-targeted growth (round 4 — the per-cause counters say
+        # WHICH budget overflowed): budgets whose counter reads 0 keep
+        # their current value instead of being re-derived, so e.g. a
+        # pure pair-buffer overflow never recompiles the sweep window.
+        s = state.stats
+        cause = {k: int(np.asarray(getattr(s, k)))
+                 for k in ("ovf_window", "ovf_slots", "ovf_drop",
+                           "ovf_band", "ovf_slab")}
+        if cause["ovf_window"] == 0:
+            cfg2 = dataclasses.replace(cfg2, sap_window=cfg.sap_window)
+        if cause["ovf_slots"] == 0:
+            cfg2 = dataclasses.replace(cfg2, sap_hits=cfg.sap_hits)
+        if cause["ovf_drop"] == 0:
+            cfg2 = dataclasses.replace(cfg2, max_pairs=cfg.max_pairs)
+        # tiled-sweep window truncation and solver slab clamps both mean
+        # the slab halo is too small for the x-rank spread: double it
+        # (the tiled kernel rounds to 1024 internally; stay 128-aligned)
+        if cause["ovf_slab"] > 0 or (
+                cause["ovf_window"] > 0 and cfg.broadphase in
+                ("sap_tiled", "sap")):
+            cfg2 = dataclasses.replace(
+                cfg2, tile_halo=max(cfg2.tile_halo, cfg.tile_halo * 2))
         # never shrink mid-rollout: overflow means "bigger", and shrink
         # thrash would recompile every other chunk
         cfg2 = dataclasses.replace(

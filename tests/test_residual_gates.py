@@ -163,3 +163,78 @@ def test_gated_oracle_trajectory_parity():
         np.testing.assert_allclose(
             np.asarray(st.bodies.pos[1]), np.asarray(ow.pos[1]),
             atol=3e-3, err_msg=f"frame {frame}")
+
+
+def _run_tiled(sb, cfg, n):
+    """Force the TILED solver backend (SMEM predicate monkeypatch + small
+    slab geometry) — same trick as test_banded_sweep."""
+    import jax
+    import phyx_tpu.step as step_mod
+
+    orig_f = solver.pallas_smem_bytes
+    orig_s = solver.pallas_streamed_smem_bytes
+    solver.pallas_smem_bytes = lambda n_, c: 10 ** 9
+    solver.pallas_streamed_smem_bytes = lambda n_: 10 ** 9
+    jax.clear_caches()
+    st = sb.build()
+    try:
+        for _ in range(n):
+            st = step_mod.step(st, cfg)
+    finally:
+        solver.pallas_smem_bytes = orig_f
+        solver.pallas_streamed_smem_bytes = orig_s
+        jax.clear_caches()
+    return st
+
+
+def test_tiled_gate_tracks_exact():
+    """Round 4 (VERDICT r3 #4): the tiled kernel honors the rel gates.
+    Gated tiled must track ungated tiled to tolerance scale, and the
+    settled state's reported residual must sit BELOW the runtime
+    threshold (the gate demonstrably fires)."""
+    cfg0 = SimConfig(max_bodies=128, max_pairs=1024, broadphase="n2",
+                     solver_backend="pallas",
+                     tile_stride=256, tile_halo=256)
+    cfg1 = cfg0.replace(velocity_rel_tol=1e-3, position_rel_tol=1e-3)
+    sb = scenes.stack(cfg0, 5)
+    st0 = _run_tiled(sb, cfg0, 120)
+    st1 = _run_tiled(sb, cfg1, 120)
+    d = np.abs(np.asarray(st0.bodies.pos) - np.asarray(st1.bodies.pos))
+    assert d.max() < 1e-2, f"tiled gated diverged {d.max()}"
+    assert float(st1.stats.max_penetration) < 0.05
+    # the settled stack's residual is below the threshold -> remaining
+    # velocity passes were skipped (the gate fired)
+    contacts = _contacts_of(st1, cfg1)
+    thresh = float(solver.velocity_threshold(cfg1, contacts))
+    assert thresh > 0.0
+    assert float(st1.stats.residual) < thresh
+
+
+def test_tiled_gate_cold_start_bit_identity():
+    """Threshold 0 on the first frame (no warm impulses) -> the gated
+    tiled program is bit-identical to the ungated one for that frame."""
+    cfg0 = SimConfig(max_bodies=128, max_pairs=1024, broadphase="n2",
+                     solver_backend="pallas",
+                     tile_stride=256, tile_halo=256)
+    cfg1 = cfg0.replace(velocity_rel_tol=1e-2, position_rel_tol=1e-2)
+    sb = scenes.pile(cfg0, 30, seed=3)
+    a = _run_tiled(sb, cfg0, 1)
+    b = _run_tiled(sb, cfg1, 1)
+    np.testing.assert_array_equal(np.asarray(a.bodies.pos),
+                                  np.asarray(b.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(a.bodies.vel),
+                                  np.asarray(b.bodies.vel))
+
+
+def test_tiled_gate_with_joints():
+    """Jointed tiled gating: joint sweeps participate in the residual and
+    the gate; gated must track exact."""
+    cfg0 = SimConfig(max_bodies=32, max_pairs=2048, broadphase="n2",
+                     solver_backend="pallas", max_joints=16,
+                     tile_stride=256, tile_halo=256)
+    cfg1 = cfg0.replace(velocity_rel_tol=1e-3, position_rel_tol=1e-3)
+    sb = scenes.chain(cfg0, 8)
+    st0 = _run_tiled(sb, cfg0, 60)
+    st1 = _run_tiled(sb, cfg1, 60)
+    d = np.abs(np.asarray(st0.bodies.pos) - np.asarray(st1.bodies.pos))
+    assert d.max() < 8e-2, f"tiled jointed gated diverged {d.max()}"
