@@ -26,9 +26,10 @@ item() {  # item <seconds-budget> <label> <cmd...>
 
 say "queue r4 start (TTL ${TTL}s)"
 
-# VERDICT r3 #2 done-criterion: settled banded E overflow-free
-item 4800 "config E 1024 envs, banded (exact-accept tree)" \
-  python bench.py --scene envs --envs 1024 --boxes 256 --steps 2 --settle 240
+# VERDICT r3 #2 done-criterion run inline 05:50 (718.01 env-steps/s, overflow 0,
+# penetration 0.0126) — recorded above in the log; item kept for reruns:
+# item 4800 "config E 1024 envs, banded (exact-accept tree)" \
+#   python bench.py --scene envs --envs 1024 --boxes 256 --steps 2 --settle 240
 
 # VERDICT r3 #7: segsort accept/reject on VALID physics
 item 4800 "config E 1024 envs, banded + segsort" \
