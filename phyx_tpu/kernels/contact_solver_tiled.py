@@ -24,8 +24,11 @@ Caller contract (solver.solve_pallas_tiled):
     [s*K, s*K + W) with K = slab stride, W = window (both multiples of
     128 so the (rows*8) f32 DMA offsets hit the 1024-element tile).
   * contact/joint rows sorted by slab, each slab's range padded to
-    BLK-multiples (dead slots are exact no-ops); live counts per slab in
-    ``slab_counts`` ((2*n_slabs,) i32: contacts then joints).
+    BLK-multiples (dead slots are exact no-ops; round 4: blocks with
+    ZERO live rows skip DMA + dispatch entirely after the warm pass —
+    block budgets are capacity-sized, so at settled states most blocks
+    are dead padding); live counts per slab in ``slab_counts``
+    ((2*n_slabs,) i32: contacts then joints).
   * every row's two bodies lie inside its slab's window; the caller
     counts violations and clamps.
   * bodies whose row equals the zero row (statics at rest) may be
@@ -63,9 +66,11 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
     velocity pass then records its residual, and once a pass's residual
     falls below the RUNTIME threshold ``tol_ref[0]`` the remaining
     velocity passes skip their sweeps (same for displacement passes vs
-    ``tol_ref[1]``).  The DMA pipeline (windows + contact blocks) still
-    streams on a skipped pass — at mega scale that is ~100 us against a
-    ~58 ms sweep pass, so a converged pass costs ~0.2% of a live one."""
+    ``tol_ref[1]``).  Round-4 dead-block skip: blocks of a converged
+    pass (and zero-live-row blocks on ANY pass after warm) skip their
+    input DMAs, waits, dispatch, and acc write-back entirely — only the
+    per-slab window DMA still streams, so a converged pass costs the
+    window round-trips alone."""
 
     n_passes = 1 + vel_iters + pos_iters
     bps = cbps + jbps
@@ -79,6 +84,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
              body_io_hbm, body_hbm, acc_hbm, res_ref,
              win_ref, win_sem,        # SMEM window + DMA sem
              conv_ref, pres_ref,      # SMEM (2,) i32 flags + (1,) f32
+             started_ref, pending_ref,  # SMEM (2,) i32 per-buffer-set
              b1_s, b2_s, con_s, warm_s, acc_s, sem_s, osem_s,
              b1_t, b2_t, con_t, warm_t, acc_t, sem_t, osem_t):
         del body_io_hbm
@@ -455,21 +461,68 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
         # --- orchestration: pass -> slab -> block; contact double-buffer
         # across blocks, synchronous window DMA per (pass, slab) ---
 
-        def do_block(g, cur, nxt, p, s, bi):
+        def _cnt_of(blk):
+            s = blk // bps
+            bi = jax.lax.rem(blk, bps)
+            if has_joints:
+                return jnp.where(
+                    bi >= cbps,
+                    jnp.clip(num_ref[n_slabs + s] - (bi - cbps) * BLK,
+                             0, BLK),
+                    jnp.clip(num_ref[s] - bi * BLK, 0, BLK))
+            return jnp.clip(num_ref[s] - bi * BLK, 0, BLK)
+
+        def _live(p, blk):
+            """Dead-block skip (round 4, VERDICT r3 weak #5): block
+            budgets are sized off CAPACITY, so at settled states most
+            blocks carry zero live rows — and a zero-row block is an
+            exact no-op for every pass p >= 1 (the warm pass must still
+            run: it zero-initializes the block's acc slots in HBM).
+            Skipping it drops 5 input DMAs + waits + dispatch + the acc
+            round-trip, the attributed ~4-5 us/block tiled-vs-streamed
+            gap (BASELINE.md round-4 notes).  In gated mode, blocks of
+            a converged pass are skipped the same way (round 3 merely
+            streamed their DMA).  Consistency: conv flags can latch
+            between the starter's decision and the waiter's turn, so
+            the waiter NEVER recomputes this predicate — it reads the
+            starter's decision from started_ref."""
+            alive = (p == 0) | (_cnt_of(blk) > 0)
+            if vel_gated:
+                alive = alive & ~((p >= 1) & (p <= vel_iters)
+                                  & (conv_ref[0] == 1))
+            if pos_gated:
+                alive = alive & ~((p > vel_iters) & (conv_ref[1] == 1))
+            return alive
+
+        def do_block(g, cur, nxt, ci, ni, p, s, bi):
             """g = global block step index (for buffer hazard bookkeeping);
-            bi = block-within-slab; global block id = s*bps + bi."""
+            bi = block-within-slab; global block id = s*bps + bi;
+            ci/ni = static buffer-set index (0 = set_a) of cur/nxt.
+
+            started_ref[k]: 1 iff input DMAs are in flight for buffer
+            set k (written by the block that started them, read by the
+            block that owns them — paired exactly even when the skip
+            predicate's conv flags change in between).  pending_ref[k]:
+            blk+1 of the outstanding acc write-back from set k (0 =
+            none); waited before the set's buffers are reused and in
+            the final drain."""
             blk = s * bps + bi
             base8 = s * (slab_stride * 8)
 
             @pl.when(g + 1 < total_blocks)
             def _():
-                @pl.when(g >= 1)
-                def _():
-                    gp = g - 1
-                    acc_out_copy(nxt, _blk_of(gp)).wait()
-                start_block(nxt, _blk_of(g + 1))
+                want = _live(_pass_of(g + 1), _blk_of(g + 1))
+                started_ref[ni] = want.astype(jnp.int32)
 
-            wait_block(cur, blk)
+                @pl.when(want)
+                def _():
+                    @pl.when(pending_ref[ni] > 0)
+                    def _():
+                        acc_out_copy(nxt, pending_ref[ni] - 1).wait()
+                        pending_ref[ni] = 0
+                    start_block(nxt, _blk_of(g + 1))
+
+            mine = started_ref[ci] == 1
 
             if has_joints:
                 is_j = (bi >= cbps).astype(jnp.int32)
@@ -519,29 +572,36 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     def _():
                         f()
 
-                if has_joints:
-                    jax.lax.switch(kind + 3 * is_j, [
-                        lambda: warm_sweep(cur, base8, cnt),
-                        lambda: gated_vel(
-                            lambda: vel_sweep(cur, base8, cnt)),
-                        lambda: gated_pos(
-                            lambda: pos_sweep(cur, base8, cnt)),
-                        lambda: joint_warm_sweep(cur, base8, cnt),
-                        lambda: gated_vel(
-                            lambda: joint_vel_sweep(cur, base8, cnt)),
-                        lambda: gated_pos(
-                            lambda: joint_pos_sweep(cur, base8, cnt)),
-                    ])
-                else:
-                    jax.lax.switch(kind, [
-                        lambda: warm_sweep(cur, base8, cnt),
-                        lambda: gated_vel(
-                            lambda: vel_sweep(cur, base8, cnt)),
-                        lambda: gated_pos(
-                            lambda: pos_sweep(cur, base8, cnt)),
-                    ])
+                @pl.when(mine)
+                def _():
+                    wait_block(cur, blk)
+                    if has_joints:
+                        jax.lax.switch(kind + 3 * is_j, [
+                            lambda: warm_sweep(cur, base8, cnt),
+                            lambda: gated_vel(
+                                lambda: vel_sweep(cur, base8, cnt)),
+                            lambda: gated_pos(
+                                lambda: pos_sweep(cur, base8, cnt)),
+                            lambda: joint_warm_sweep(cur, base8, cnt),
+                            lambda: gated_vel(
+                                lambda: joint_vel_sweep(cur, base8, cnt)),
+                            lambda: gated_pos(
+                                lambda: joint_pos_sweep(cur, base8, cnt)),
+                        ])
+                    else:
+                        jax.lax.switch(kind, [
+                            lambda: warm_sweep(cur, base8, cnt),
+                            lambda: gated_vel(
+                                lambda: vel_sweep(cur, base8, cnt)),
+                            lambda: gated_pos(
+                                lambda: pos_sweep(cur, base8, cnt)),
+                        ])
+                    acc_out_copy(cur, blk).start()
+                    pending_ref[ci] = blk + 1
 
                 # end of a velocity/position pass: latch convergence
+                # (outside the skip guard — a dead last block must
+                # still latch; res/pres survive skipped blocks)
                 @pl.when((blk == total_per_pass_c - 1) & (p >= 1)
                          & (p <= vel_iters) & (res_ref[0] < tol_ref[0]))
                 def _():
@@ -567,26 +627,30 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     p == 0, 0,
                     jnp.where(p < vel_iters, 1,
                               jnp.where(p == vel_iters, 2, 3)))
-                if has_joints:
-                    jax.lax.switch(kind + 4 * is_j, [
-                        lambda: warm_sweep(cur, base8, cnt),
-                        lambda: vel_sweep_nores(cur, base8, cnt),
-                        lambda: vel_sweep(cur, base8, cnt),
-                        lambda: pos_sweep(cur, base8, cnt),
-                        lambda: joint_warm_sweep(cur, base8, cnt),
-                        lambda: joint_vel_sweep_nores(cur, base8, cnt),
-                        lambda: joint_vel_sweep(cur, base8, cnt),
-                        lambda: joint_pos_sweep(cur, base8, cnt),
-                    ])
-                else:
-                    jax.lax.switch(kind, [
-                        lambda: warm_sweep(cur, base8, cnt),
-                        lambda: vel_sweep_nores(cur, base8, cnt),
-                        lambda: vel_sweep(cur, base8, cnt),
-                        lambda: pos_sweep(cur, base8, cnt),
-                    ])
 
-            acc_out_copy(cur, blk).start()
+                @pl.when(mine)
+                def _():
+                    wait_block(cur, blk)
+                    if has_joints:
+                        jax.lax.switch(kind + 4 * is_j, [
+                            lambda: warm_sweep(cur, base8, cnt),
+                            lambda: vel_sweep_nores(cur, base8, cnt),
+                            lambda: vel_sweep(cur, base8, cnt),
+                            lambda: pos_sweep(cur, base8, cnt),
+                            lambda: joint_warm_sweep(cur, base8, cnt),
+                            lambda: joint_vel_sweep_nores(cur, base8, cnt),
+                            lambda: joint_vel_sweep(cur, base8, cnt),
+                            lambda: joint_pos_sweep(cur, base8, cnt),
+                        ])
+                    else:
+                        jax.lax.switch(kind, [
+                            lambda: warm_sweep(cur, base8, cnt),
+                            lambda: vel_sweep_nores(cur, base8, cnt),
+                            lambda: vel_sweep(cur, base8, cnt),
+                            lambda: pos_sweep(cur, base8, cnt),
+                        ])
+                    acc_out_copy(cur, blk).start()
+                    pending_ref[ci] = blk + 1
 
         total_per_pass = n_slabs * bps
         total_blocks = n_passes * total_per_pass
@@ -621,29 +685,38 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 cpi.start()
                 cpi.wait()
 
-        start_block(set_a, jnp.int32(0))
+        start_block(set_a, jnp.int32(0))   # block 0 = warm pass: always live
+        started_ref[0] = 1
+        started_ref[1] = 0
+        pending_ref[0] = 0
+        pending_ref[1] = 0
 
         def g2step(h, _):
             g = 2 * h
             maybe_window(g)
-            do_block(g, set_a, set_b, _pass_of(g), _slab_of(g), _bi_of(g))
+            do_block(g, set_a, set_b, 0, 1,
+                     _pass_of(g), _slab_of(g), _bi_of(g))
 
             @pl.when(g + 1 < total_blocks)
             def _():
                 g1 = g + 1
                 maybe_window(g1)
-                do_block(g1, set_b, set_a, _pass_of(g1), _slab_of(g1),
-                         _bi_of(g1))
+                do_block(g1, set_b, set_a, 1, 0,
+                         _pass_of(g1), _slab_of(g1), _bi_of(g1))
             return 0
 
         jax.lax.fori_loop(0, (total_blocks + 1) // 2, g2step, 0)
-        last = total_blocks - 1
-        prev = total_blocks - 2
-        acc_out_copy(set_a if prev % 2 == 0 else set_b,
-                     _blk_of(jnp.int32(prev))).wait()
-        acc_out_copy(set_a if last % 2 == 0 else set_b,
-                     _blk_of(jnp.int32(last))).wait()
-        cpo = win_out(_slab_of(jnp.int32(last)))
+
+        # drain: at most one acc write-back outstanding per buffer set
+        @pl.when(pending_ref[0] > 0)
+        def _():
+            acc_out_copy(set_a, pending_ref[0] - 1).wait()
+
+        @pl.when(pending_ref[1] > 0)
+        def _():
+            acc_out_copy(set_b, pending_ref[1] - 1).wait()
+
+        cpo = win_out(_slab_of(jnp.int32(total_blocks - 1)))
         cpo.start()
         cpo.wait()
 
@@ -718,7 +791,9 @@ def solve_contacts_tiled(
         scratch_shapes=([pltpu.SMEM((window_rows * 8,), jnp.float32),
                          pltpu.SemaphoreType.DMA,
                          pltpu.SMEM((2,), jnp.int32),
-                         pltpu.SMEM((1,), jnp.float32)]
+                         pltpu.SMEM((1,), jnp.float32),
+                         pltpu.SMEM((2,), jnp.int32),
+                         pltpu.SMEM((2,), jnp.int32)]
                         + bufset() + bufset()),
         interpret=_use_interpret(),
     )(slab_counts.astype(jnp.int32), tols, b1, b2, con_flat, warm_flat,
