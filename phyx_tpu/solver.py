@@ -460,48 +460,89 @@ def solve_pallas(bodies: Bodies, contacts: Contacts, num_contacts: jax.Array,
     return bodies, acc[:c, 0], acc[:c, 1], res[0], joint_accum
 
 
-def _route_rows_to_slabs(lb1, lb2, slab, live, rows12, warm2,
-                         n_slabs: int, cap_slots: int, K: int):
-    """Sort rows into a per-slab padded slot layout (gathers only).
+def _route_rows_to_slabs(lb1, lb2, slab, live, cols,
+                         n_slabs: int, cap_slots: int):
+    """Sort rows into a per-slab padded slot layout — NO row gathers.
 
-    Returns (t_b1, t_b2, t_con (T,12), t_warm (T,2), per-slab live counts
-    (clamped), overflow beyond slab capacity, each row's within-slab slot
-    (for un-routing accumulators), and its validity mask)."""
+    Round-4 rework (the profiled 'solve' stage at settled config E
+    carried ~200 ms of row-serialized data movement): the row payload
+    (endpoints + the ``cols`` f32 columns) is CARRIED through the
+    routing sort as extra sort operands (fenced: payload carry beats a
+    packed row gather ~5x at mega rows, BASELINE.md), and the padded
+    per-slab layout is then built with ``n_slabs`` CONTIGUOUS
+    dynamic slices at the run boundaries — replacing one m-row
+    permutation gather plus three packed row gathers.  Slots past a
+    slab's live count hold junk from the next run, which is safe: the
+    kernel sweeps strictly ``k < cnt`` per block and the warm pass
+    zero-fills dead acc slots.
+
+    The sort is stable (lax.sort default), so the routing order —
+    Gauss-Seidel visit order — is bit-identical to the previous
+    (skey, arange) form regardless of payload count.
+
+    Returns (t_b1, t_b2, t_cols (T, len(cols)) f32, per-slab live
+    counts (clamped), overflow beyond slab capacity, and an opaque
+    ``routing`` handle consumed by _unroute_rows)."""
     m = live.shape[0]
     skey = jnp.where(live, slab, n_slabs)         # dead rows last
-    # ONE stable sort yields both the routing permutation and, via its
-    # sorted keys, the per-slab counts as searchsorted boundaries — the
-    # earlier .at[slab].add histogram was a row-serialized scatter over
-    # every contact slot (~12 ns/row: ~80 ms at the 6.7M-slot mega shape)
-    skey_sorted, order2 = jax.lax.sort(
-        (skey, jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    ops = jax.lax.sort((skey, lb1, lb2, iota) + tuple(cols), num_keys=1)
+    skey_s, lb1_s, lb2_s, order2 = ops[:4]
     bounds = jnp.searchsorted(
-        skey_sorted, jnp.arange(n_slabs + 1, dtype=jnp.int32),
+        skey_s, jnp.arange(n_slabs + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)
     counts = bounds[1:] - bounds[:-1]
     starts = bounds[:-1]
-    total = n_slabs * cap_slots
-    q = jnp.arange(total, dtype=jnp.int32)
-    qslab = q // cap_slots
-    within = q % cap_slots
-    slot_live = within < jnp.minimum(counts[qslab], cap_slots)
-    src = order2[jnp.clip(starts[qslab] + within, 0, m - 1)]
     overflow = jnp.maximum(counts - cap_slots, 0).sum()
+    # within-run position via cummax over run starts (no inverse-
+    # permutation scatter: the old zeros.at[order2].set(arange) was a
+    # row-serialized m-row scatter)
+    chg = jnp.concatenate(
+        [jnp.ones((1,), bool), skey_s[1:] != skey_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(chg, iota, 0))
+    ok_sorted = (iota - run_start < cap_slots) & (skey_s < n_slabs)
 
-    def g(x):
-        taken = x[src]
-        return jnp.where(slot_live[:, None], taken, jnp.zeros_like(taken))
+    S_i = jnp.concatenate([jnp.stack([lb1_s, lb2_s], axis=1),
+                           jnp.zeros((cap_slots, 2), jnp.int32)])
+    S_f = jnp.concatenate([jnp.stack(ops[4:], axis=1),
+                           jnp.zeros((cap_slots, len(cols)), jnp.float32)])
+    T_i = jnp.concatenate([
+        jax.lax.dynamic_slice(S_i, (starts[s], 0), (cap_slots, 2))
+        for s in range(n_slabs)])
+    T_f = jnp.concatenate([
+        jax.lax.dynamic_slice(S_f, (starts[s], 0), (cap_slots, len(cols)))
+        for s in range(n_slabs)])
+    return (T_i[:, 0], T_i[:, 1], T_f, jnp.minimum(counts, cap_slots),
+            overflow, (starts, order2, ok_sorted))
 
-    t_b1 = jnp.where(slot_live, lb1[src], qslab * K).astype(jnp.int32)
-    t_b2 = jnp.where(slot_live, lb2[src], qslab * K).astype(jnp.int32)
-    t_con = g(rows12)
-    t_warm = g(warm2)
-    inv2 = jnp.zeros((m,), jnp.int32).at[order2].set(
-        jnp.arange(m, dtype=jnp.int32))
-    within_src = inv2 - starts[slab]
-    ok = within_src < cap_slots
-    return (t_b1, t_b2, t_con, t_warm, jnp.minimum(counts, cap_slots),
-            overflow, within_src, ok)
+
+def _unroute_rows(acc, routing, n_slabs: int, cap_all: int,
+                  base_off: int, cap_slots: int):
+    """Inverse of _route_rows_to_slabs for solver accumulators — also
+    gather/scatter-free.  ``acc`` is (n_slabs*cap_all, ncols); rows
+    [s*cap_all + base_off, +cap_slots) belong to this row class's slab
+    s.  Per-slab contiguous dynamic_update_slice copies bring the slot
+    values back into routing-sorted order (slab s+1's write starts
+    exactly at starts[s]+counts[s], so earlier slabs' spill past their
+    live count is overwritten; overflow/dead positions keep junk and
+    are masked by the carried ``ok`` flag), then ONE stable sort keyed
+    by order2 — a permutation of arange(m) — is the exact inverse
+    permutation, carrying the acc columns as payload.
+
+    Returns ((m, ncols) acc in original row order, (m,) ok mask)."""
+    starts, order2, ok_sorted = routing
+    m = order2.shape[0]
+    ncols = acc.shape[1]
+    buf = jnp.zeros((m + cap_slots, ncols), acc.dtype)
+    for s in range(n_slabs):
+        block = jax.lax.dynamic_slice(
+            acc, (s * cap_all + base_off, 0), (cap_slots, ncols))
+        buf = jax.lax.dynamic_update_slice(buf, block, (starts[s], 0))
+    sortedv = buf[:m]
+    unp = jax.lax.sort(
+        (order2, ok_sorted.astype(jnp.int32))
+        + tuple(sortedv[:, k] for k in range(ncols)), num_keys=1)
+    return jnp.stack(unp[2:], axis=1), unp[1].astype(bool)
 
 
 def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
@@ -541,28 +582,34 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     n_slabs = -(-n // rps)
     npad = n_slabs * K + H
 
-    # rank of each body id (inverse of order)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
+    # rank of each body id (inverse of order) — a 1-key payload sort of
+    # the permutation IS the inverse permutation (round 4: replaces the
+    # row-serialized zeros.at[order].set scatter)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    _, rank = jax.lax.sort((order, iota_n), num_keys=1)
     # embedded row of rank r: slab zero-block layout
     def pos_of_rank(r):
         return (r // rps) * K + 128 + r % rps
     pos = pos_of_rank(rank)             # id -> embedded row
 
-    # embedded body table: pure gather (src id per embedded row, or zero)
-    p_iota = jnp.arange(npad, dtype=jnp.int32)
-    off = p_iota % K
-    r_src = (p_iota // K) * rps + (off - 128)
-    row_valid = (off >= 128) & (r_src < n) & (p_iota < n_slabs * K)
-    src = order[jnp.clip(r_src, 0, n - 1)]
-    body_rows = jnp.concatenate([
-        bodies.vel,
-        bodies.angvel[:, None],
-        bodies.inv_mass[:, None],
-        bodies.inv_inertia[:, None],
-        jnp.zeros((n, 3), jnp.float32),
-    ], axis=1)                           # (N, 8)
-    embedded = jnp.where(row_valid[:, None], body_rows[src], 0.0)
+    # embedded body table (round 4, gather-free): carry the 5 live body
+    # columns through a sort by rank — ranked row r is body order[r] —
+    # then the slab layout is static slicing (each slab's window is a
+    # contiguous rank range behind its 128-row zero block)
+    body_cols = (bodies.vel[:, 0], bodies.vel[:, 1], bodies.angvel,
+                 bodies.inv_mass, bodies.inv_inertia)
+    ranked_ops = jax.lax.sort((rank,) + body_cols, num_keys=1)
+    ranked = jnp.stack(ranked_ops[1:] + (
+        jnp.zeros((n,), jnp.float32),) * 3, axis=1)        # (N, 8)
+    pad_rows = n_slabs * rps - n
+    if pad_rows:
+        ranked = jnp.concatenate(
+            [ranked, jnp.zeros((pad_rows, 8), jnp.float32)])
+    zero_blk = jnp.zeros((128, 8), jnp.float32)
+    embedded = jnp.concatenate(
+        [jnp.concatenate([zero_blk, ranked[s * rps:(s + 1) * rps]])
+         for s in range(n_slabs)]
+        + [jnp.zeros((H, 8), jnp.float32)])                # (npad, 8)
 
     # Only bodies whose row literally EQUALS the zero row (zero
     # velocity/angvel AND both inverse masses zero) may be remapped to
@@ -571,12 +618,19 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     # velocity terms and must keep its actual embedded row (ADVICE r1 #1).
     zero_safe = ((bodies.inv_mass == 0.0) & (bodies.inv_inertia == 0.0)
                  & jnp.all(bodies.vel == 0.0, axis=1) & (bodies.angvel == 0.0))
+    # packed per-body lookup: embedded row and the zero-remap flag ride
+    # ONE gather (npad*2 < 2^31); contacts resolve it at PAIR level (the
+    # two point slots of a pair share endpoints) — together 4 C-row
+    # gathers become 2 (C/2)-row gathers
+    pz_tab = pos * 2 + zero_safe.astype(jnp.int32)
 
-    def route_endpoints(eb1, eb2, live):
-        b1p = pos[eb1]
-        b2p = pos[eb2]
-        st1 = zero_safe[eb1]
-        st2 = zero_safe[eb2]
+    def route_endpoints(eb1, eb2):
+        z1 = pz_tab[eb1]
+        z2 = pz_tab[eb2]
+        b1p = z1 >> 1
+        b2p = z2 >> 1
+        st1 = (z1 & 1) == 1
+        st2 = (z2 & 1) == 1
         dyn_min = jnp.where(st1, b2p,
                             jnp.where(st2, b1p, jnp.minimum(b1p, b2p)))
         slab = jnp.clip(dyn_min // K, 0, n_slabs - 1)
@@ -585,44 +639,50 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         lb2 = jnp.where(st2, zero_row, b2p)
         lo, hi = slab * K, slab * K + W
         in_win = (lb1 >= lo) & (lb1 < hi) & (lb2 >= lo) & (lb2 < hi)
-        ovf = (live & ~in_win).sum(dtype=jnp.int32)
         lb1 = jnp.clip(lb1, lo, hi - 1)
         lb2 = jnp.clip(lb2, lo, hi - 1)
-        # dead rows: park on the zero row (exact no-ops)
-        lb1 = jnp.where(live, lb1, zero_row)
-        lb2 = jnp.where(live, lb2, zero_row)
-        return lb1, lb2, slab, ovf
+        return lb1, lb2, slab, in_win
 
     live = contacts.valid
-    lb1, lb2, slab, tiled_overflow = route_endpoints(
-        contacts.b1, contacts.b2, live)
+    half = c // 2
+    plb1, plb2, pslab, pin = route_endpoints(
+        contacts.b1.reshape(half, 2)[:, 0],
+        contacts.b2.reshape(half, 2)[:, 0])
+
+    def rep2(x):
+        return jnp.repeat(x, 2, total_repeat_length=c)
+
+    lb1, lb2, slab = rep2(plb1), rep2(plb2), rep2(pslab)
+    tiled_overflow = (live & ~rep2(pin)).sum(dtype=jnp.int32)
 
     cbps = -(-(2 * c // n_slabs) // BLK)          # blocks per slab (2x avg)
     cap_c = cbps * BLK
-    con12 = jnp.stack([
+    cols_c = (
         contacts.normal[:, 0], contacts.normal[:, 1],
         contacts.r1[:, 0], contacts.r1[:, 1],
         contacts.r2[:, 0], contacts.r2[:, 1],
         contacts.mass_n, contacts.mass_t, contacts.friction,
         contacts.dst_v, contacts.dst_dv,
-        contacts.c_nt], axis=1)
-    warm2 = jnp.stack([contacts.warm_n, contacts.warm_t], axis=1)
-    (t_b1, t_b2, t_con, t_warm, counts_c, ovf_c,
-     within_c, ok_c) = _route_rows_to_slabs(
-        lb1, lb2, slab, live, con12, warm2, n_slabs, cap_c, K)
+        contacts.c_nt, contacts.warm_n, contacts.warm_t)
+    (t_b1, t_b2, t_cf, counts_c, ovf_c, routing_c) = _route_rows_to_slabs(
+        lb1, lb2, slab, live, cols_c, n_slabs, cap_c)
+    t_con, t_warm = t_cf[:, :12], t_cf[:, 12:14]
     tiled_overflow = tiled_overflow + ovf_c
 
     jbps = 0
     if j_cap:
         jlive = joints.kind != 0
-        jb1, jb2, jslab, ovf_w = route_endpoints(joints.b1, joints.b2, jlive)
-        tiled_overflow = tiled_overflow + ovf_w
+        jb1, jb2, jslab, jin = route_endpoints(joints.b1, joints.b2)
+        tiled_overflow = tiled_overflow + (
+            jlive & ~jin).sum(dtype=jnp.int32)
         jbps = max(1, -(-(2 * j_cap // n_slabs) // BLK))
         cap_j = jbps * BLK
-        (u_b1, u_b2, u_con, u_warm, counts_j, ovf_j,
-         within_j, ok_j) = _route_rows_to_slabs(
-            jb1, jb2, jslab, jlive, joint_rows, joint_warm,
-            n_slabs, cap_j, K)
+        cols_j = (tuple(joint_rows[:, k] for k in range(12))
+                  + tuple(joint_warm[:, k] for k in range(2)))
+        (u_b1, u_b2, u_cf, counts_j, ovf_j, routing_j) = \
+            _route_rows_to_slabs(jb1, jb2, jslab, jlive, cols_j,
+                                 n_slabs, cap_j)
+        u_con, u_warm = u_cf[:, :12], u_cf[:, 12:14]
         tiled_overflow = tiled_overflow + ovf_j
         # interleave: per slab, contact blocks then joint blocks
         def ilv(a, b):
@@ -659,27 +719,36 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         n_slabs, K, W, jbps=jbps, vel_gated=vel_gated,
         pos_gated=pos_gated, tols=tols)
 
-    # un-embed bodies
+    # un-embed bodies (round 4, gather-free): static slices pull the
+    # rank-ordered rows out of the slab layout, then one sort keyed by
+    # ``order`` (ranked row r belongs to body order[r]) un-permutes the
+    # 6 consumed columns back to id order — replaces the (N, 8)
+    # body_out[pos] row gather
     body_out = body_out.reshape(npad, 8)
-    mine = body_out[pos]                          # (N, 8) per body id
+    ranked_out = jnp.concatenate(
+        [body_out[s * K + 128:(s + 1) * K] for s in range(n_slabs)])[:n]
+    unp = jax.lax.sort(
+        (order, ranked_out[:, 0], ranked_out[:, 1], ranked_out[:, 2],
+         ranked_out[:, 5], ranked_out[:, 6], ranked_out[:, 7]),
+        num_keys=1)
     bodies = bodies.replace(
-        vel=mine[:, 0:2], angvel=mine[:, 2],
-        dvel=mine[:, 5:7], dangvel=mine[:, 7])
+        vel=jnp.stack(unp[1:3], axis=1), angvel=unp[3],
+        dvel=jnp.stack(unp[4:6], axis=1), dangvel=unp[6])
 
-    # un-route accumulators: contact k sits at slot
-    # slab*(cap_c + cap_j) + within; joint k at ... + cap_c + within
+    # un-route accumulators: sort-based inverse routing (round 4 — the
+    # old form was an m-row slot gather plus the inverse-permutation
+    # scatter inside _route_rows_to_slabs, together ~100 ms of
+    # row-serialized movement at settled config E)
     cap_all = cap_c + jbps * BLK
-    acc = acc.reshape(n_slabs * cap_all, 4)
-    slot_c = jnp.clip(slab * cap_all + within_c,
-                      0, n_slabs * cap_all - 1)
-    acc_c = acc[slot_c]
+    acc2 = acc.reshape(n_slabs * cap_all, 4)[:, :2]
+    acc_c, ok_c = _unroute_rows(acc2, routing_c, n_slabs, cap_all,
+                                0, cap_c)
     accum_n = jnp.where(live & ok_c, acc_c[:, 0], 0.0)
     accum_t = jnp.where(live & ok_c, acc_c[:, 1], 0.0)
     if j_cap:
-        slot_j = jnp.clip(jslab * cap_all + cap_c + within_j,
-                          0, n_slabs * cap_all - 1)
-        acc_j = acc[slot_j]
-        joint_accum = jnp.where((jlive & ok_j)[:, None], acc_j[:, 0:2], 0.0)
+        acc_j, ok_j = _unroute_rows(acc2, routing_j, n_slabs, cap_all,
+                                    cap_c, cap_j)
+        joint_accum = jnp.where((jlive & ok_j)[:, None], acc_j, 0.0)
     else:
         joint_accum = jnp.zeros((0, 2), jnp.float32)
     return bodies, accum_n, accum_t, res[0], tiled_overflow, joint_accum
