@@ -156,7 +156,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             jax.lax.fori_loop(W * (cnt // W), cnt,
                               lambda k, _: visit(k, 0), 0)
 
-        def warm_sweep(bufs, base8, cnt):
+        def warm_sweep(bufs, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
 
             def one(k, _):
@@ -171,8 +171,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 r1y = conr[cb + 3]
                 r2x = conr[cb + 4]
                 r2y = conr[cb + 5]
-                i = b1r[k] - base8
-                j = b2r[k] - base8
+                i = b1r[k]
+                j = b2r[k]
                 im1 = win_ref[i + 3]
                 ii1 = win_ref[i + 4]
                 im2 = win_ref[j + 3]
@@ -202,7 +202,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             return zero
 
         def make_vel_sweep(with_res):
-            def vel_sweep(bufs, base8, cnt):
+            def vel_sweep(bufs, cnt):
                 b1r, b2r, conr, warmr, accr = bufs[:5]
 
                 def one(k, _):
@@ -218,8 +218,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     fr = conr[cb + 8]
                     dstv = conr[cb + 9]
                     ctn = conr[cb + 11]
-                    i = b1r[k] - base8
-                    j = b2r[k] - base8
+                    i = b1r[k]
+                    j = b2r[k]
                     im1 = win_ref[i + 3]
                     ii1 = win_ref[i + 4]
                     im2 = win_ref[j + 3]
@@ -270,7 +270,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
         vel_sweep_nores = make_vel_sweep(False)
 
         def make_pos_sweep(with_pres):
-            def pos_sweep(bufs, base8, cnt):
+            def pos_sweep(bufs, cnt):
                 b1r, b2r, conr, warmr, accr = bufs[:5]
 
                 def one(k, _):
@@ -283,8 +283,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     r2y = conr[cb + 5]
                     mn = conr[cb + 6]
                     ddv = conr[cb + 10]
-                    i = b1r[k] - base8
-                    j = b2r[k] - base8
+                    i = b1r[k]
+                    j = b2r[k]
                     im1 = win_ref[i + 3]
                     ii1 = win_ref[i + 4]
                     im2 = win_ref[j + 3]
@@ -346,7 +346,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             r2y = jnp.where(is_rev, conr[cb + 3], conr[cb + 5])
             return is_rev, r1x, r1y, r2x, r2y
 
-        def joint_warm_sweep(bufs, base8, cnt):
+        def joint_warm_sweep(bufs, cnt):
             b1r, b2r, conr, warmr, accr = bufs[:5]
 
             def one(k, _):
@@ -356,8 +356,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 wy = warmr[k * 2 + 1]
                 px = jnp.where(is_rev, wx, conr[cb] * wx)
                 py = jnp.where(is_rev, wy, conr[cb + 1] * wx)
-                i = b1r[k] - base8
-                j = b2r[k] - base8
+                i = b1r[k]
+                j = b2r[k]
                 joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
                 accr[k * 4] = wx
                 accr[k * 4 + 1] = jnp.where(is_rev, wy, 0.0)
@@ -368,14 +368,14 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             jax.lax.fori_loop(cnt, BLK, _acc_zero(accr), 0)
 
         def make_joint_vel_sweep(with_res):
-            def joint_vel_sweep(bufs, base8, cnt):
+            def joint_vel_sweep(bufs, cnt):
                 b1r, b2r, conr, warmr, accr = bufs[:5]
 
                 def one(k, _):
                     cb = k * 12
                     is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
-                    i = b1r[k] - base8
-                    j = b2r[k] - base8
+                    i = b1r[k]
+                    j = b2r[k]
                     vx1 = win_ref[i]
                     vy1 = win_ref[i + 1]
                     w1 = win_ref[i + 2]
@@ -411,14 +411,14 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
         joint_vel_sweep_nores = make_joint_vel_sweep(False)
 
         def make_joint_pos_sweep(with_pres):
-            def joint_pos_sweep(bufs, base8, cnt):
+            def joint_pos_sweep(bufs, cnt):
                 b1r, b2r, conr, warmr, accr = bufs[:5]
 
                 def one(k, _):
                     cb = k * 12
                     is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
-                    i = b1r[k] - base8
-                    j = b2r[k] - base8
+                    i = b1r[k]
+                    j = b2r[k]
                     px1 = win_ref[i + 5]
                     py1 = win_ref[i + 6]
                     q1 = win_ref[i + 7]
@@ -507,7 +507,6 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             none); waited before the set's buffers are reused and in
             the final drain."""
             blk = s * bps + bi
-            base8 = s * (slab_stride * 8)
 
             @pl.when(g + 1 < total_blocks)
             def _():
@@ -577,24 +576,24 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     wait_block(cur, blk)
                     if has_joints:
                         jax.lax.switch(kind + 3 * is_j, [
-                            lambda: warm_sweep(cur, base8, cnt),
+                            lambda: warm_sweep(cur, cnt),
                             lambda: gated_vel(
-                                lambda: vel_sweep(cur, base8, cnt)),
+                                lambda: vel_sweep(cur, cnt)),
                             lambda: gated_pos(
-                                lambda: pos_sweep(cur, base8, cnt)),
-                            lambda: joint_warm_sweep(cur, base8, cnt),
+                                lambda: pos_sweep(cur, cnt)),
+                            lambda: joint_warm_sweep(cur, cnt),
                             lambda: gated_vel(
-                                lambda: joint_vel_sweep(cur, base8, cnt)),
+                                lambda: joint_vel_sweep(cur, cnt)),
                             lambda: gated_pos(
-                                lambda: joint_pos_sweep(cur, base8, cnt)),
+                                lambda: joint_pos_sweep(cur, cnt)),
                         ])
                     else:
                         jax.lax.switch(kind, [
-                            lambda: warm_sweep(cur, base8, cnt),
+                            lambda: warm_sweep(cur, cnt),
                             lambda: gated_vel(
-                                lambda: vel_sweep(cur, base8, cnt)),
+                                lambda: vel_sweep(cur, cnt)),
                             lambda: gated_pos(
-                                lambda: pos_sweep(cur, base8, cnt)),
+                                lambda: pos_sweep(cur, cnt)),
                         ])
                     acc_out_copy(cur, blk).start()
                     pending_ref[ci] = blk + 1
@@ -633,21 +632,21 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     wait_block(cur, blk)
                     if has_joints:
                         jax.lax.switch(kind + 4 * is_j, [
-                            lambda: warm_sweep(cur, base8, cnt),
-                            lambda: vel_sweep_nores(cur, base8, cnt),
-                            lambda: vel_sweep(cur, base8, cnt),
-                            lambda: pos_sweep(cur, base8, cnt),
-                            lambda: joint_warm_sweep(cur, base8, cnt),
-                            lambda: joint_vel_sweep_nores(cur, base8, cnt),
-                            lambda: joint_vel_sweep(cur, base8, cnt),
-                            lambda: joint_pos_sweep(cur, base8, cnt),
+                            lambda: warm_sweep(cur, cnt),
+                            lambda: vel_sweep_nores(cur, cnt),
+                            lambda: vel_sweep(cur, cnt),
+                            lambda: pos_sweep(cur, cnt),
+                            lambda: joint_warm_sweep(cur, cnt),
+                            lambda: joint_vel_sweep_nores(cur, cnt),
+                            lambda: joint_vel_sweep(cur, cnt),
+                            lambda: joint_pos_sweep(cur, cnt),
                         ])
                     else:
                         jax.lax.switch(kind, [
-                            lambda: warm_sweep(cur, base8, cnt),
-                            lambda: vel_sweep_nores(cur, base8, cnt),
-                            lambda: vel_sweep(cur, base8, cnt),
-                            lambda: pos_sweep(cur, base8, cnt),
+                            lambda: warm_sweep(cur, cnt),
+                            lambda: vel_sweep_nores(cur, cnt),
+                            lambda: vel_sweep(cur, cnt),
+                            lambda: pos_sweep(cur, cnt),
                         ])
                     acc_out_copy(cur, blk).start()
                     pending_ref[ci] = blk + 1
@@ -729,8 +728,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                                              "vel_gated", "pos_gated"))
 def solve_contacts_tiled(
     body_flat: jax.Array,    # (Npad*8,) f32, x-rank permuted, Npad mult 128
-    b1: jax.Array,           # (S,) int32 rank-space, slab-sorted+padded
-    b2: jax.Array,           # (S,) int32
+    b1: jax.Array,           # (S,) int32 window-LOCAL row offsets (x8),
+    b2: jax.Array,           # (S,) int32 slab-sorted+padded
     con_flat: jax.Array,     # (S*12,) f32
     warm_flat: jax.Array,    # (S*2,) f32
     slab_counts: jax.Array,  # (2*n_slabs,) i32 live contact/joint per slab

@@ -699,9 +699,15 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         slab_counts = jnp.concatenate(
             [counts_c, jnp.zeros((n_slabs,), jnp.int32)])
 
-    # pre-scaled to row offsets (see solve_pallas): sweeps use b - base*8
-    t_b1 = t_b1 * 8
-    t_b2 = t_b2 * 8
+    # pre-scaled to WINDOW-LOCAL row offsets (round 4): each slot's slab
+    # is static (q // cap_all), so the slab window base is subtracted
+    # here, vectorized — the kernel's per-visit `- base8` (2 scalar ops
+    # per visit) is gone.  Junk/dead slots may go negative: never read.
+    cap_all = cap_c + jbps * BLK
+    base_rows = (jnp.arange(t_b1.shape[0], dtype=jnp.int32)
+                 // cap_all) * K
+    t_b1 = (t_b1 - base_rows) * 8
+    t_b2 = (t_b2 - base_rows) * 8
     # Residual gates (round 4, VERDICT r3 #4 — the tiled kernel was the
     # last backend without them): static compile flags + runtime
     # scale-normalized thresholds, same scheme as solve_pallas above.
@@ -739,7 +745,6 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     # old form was an m-row slot gather plus the inverse-permutation
     # scatter inside _route_rows_to_slabs, together ~100 ms of
     # row-serialized movement at settled config E)
-    cap_all = cap_c + jbps * BLK
     acc2 = acc.reshape(n_slabs * cap_all, 4)[:, :2]
     acc_c, ok_c = _unroute_rows(acc2, routing_c, n_slabs, cap_all,
                                 0, cap_c)
