@@ -512,7 +512,7 @@ def _route_rows_to_slabs(lb1, lb2, slab, live, cols,
     T_f = jnp.concatenate([
         jax.lax.dynamic_slice(S_f, (starts[s], 0), (cap_slots, len(cols)))
         for s in range(n_slabs)])
-    return (T_i[:, 0], T_i[:, 1], T_f, jnp.minimum(counts, cap_slots),
+    return (T_i, T_f, jnp.minimum(counts, cap_slots),
             overflow, (starts, order2, ok_sorted))
 
 
@@ -664,9 +664,8 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         contacts.mass_n, contacts.mass_t, contacts.friction,
         contacts.dst_v, contacts.dst_dv,
         contacts.c_nt, contacts.warm_n, contacts.warm_t)
-    (t_b1, t_b2, t_cf, counts_c, ovf_c, routing_c) = _route_rows_to_slabs(
+    (t_b12, t_cw, counts_c, ovf_c, routing_c) = _route_rows_to_slabs(
         lb1, lb2, slab, live, cols_c, n_slabs, cap_c)
-    t_con, t_warm = t_cf[:, :12], t_cf[:, 12:14]
     tiled_overflow = tiled_overflow + ovf_c
 
     jbps = 0
@@ -679,10 +678,9 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         cap_j = jbps * BLK
         cols_j = (tuple(joint_rows[:, k] for k in range(12))
                   + tuple(joint_warm[:, k] for k in range(2)))
-        (u_b1, u_b2, u_cf, counts_j, ovf_j, routing_j) = \
+        (u_b12, u_cw, counts_j, ovf_j, routing_j) = \
             _route_rows_to_slabs(jb1, jb2, jslab, jlive, cols_j,
                                  n_slabs, cap_j)
-        u_con, u_warm = u_cf[:, :12], u_cf[:, 12:14]
         tiled_overflow = tiled_overflow + ovf_j
         # interleave: per slab, contact blocks then joint blocks
         def ilv(a, b):
@@ -690,10 +688,8 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
             b = b.reshape((n_slabs, cap_j) + b.shape[1:])
             return jnp.concatenate([a, b], axis=1).reshape(
                 (n_slabs * (cap_c + cap_j),) + a.shape[2:])
-        t_b1 = ilv(t_b1, u_b1)
-        t_b2 = ilv(t_b2, u_b2)
-        t_con = ilv(t_con, u_con)
-        t_warm = ilv(t_warm, u_warm)
+        t_b12 = ilv(t_b12, u_b12)
+        t_cw = ilv(t_cw, u_cw)
         slab_counts = jnp.concatenate([counts_c, counts_j])
     else:
         slab_counts = jnp.concatenate(
@@ -704,10 +700,9 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     # here, vectorized — the kernel's per-visit `- base8` (2 scalar ops
     # per visit) is gone.  Junk/dead slots may go negative: never read.
     cap_all = cap_c + jbps * BLK
-    base_rows = (jnp.arange(t_b1.shape[0], dtype=jnp.int32)
+    base_rows = (jnp.arange(t_b12.shape[0], dtype=jnp.int32)
                  // cap_all) * K
-    t_b1 = (t_b1 - base_rows) * 8
-    t_b2 = (t_b2 - base_rows) * 8
+    t_b12 = (t_b12 - base_rows[:, None]) * 8
     # Residual gates (round 4, VERDICT r3 #4 — the tiled kernel was the
     # last backend without them): static compile flags + runtime
     # scale-normalized thresholds, same scheme as solve_pallas above.
@@ -719,8 +714,8 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
         tols = jnp.stack([velocity_threshold(cfg, contacts, jw),
                           position_threshold(cfg, contacts, jw)])
     body_out, acc, res = solve_contacts_tiled(
-        embedded.reshape(-1), t_b1, t_b2, t_con.reshape(-1),
-        t_warm.reshape(-1), slab_counts,
+        embedded.reshape(-1), t_b12.reshape(-1), t_cw.reshape(-1),
+        slab_counts,
         cfg.velocity_iterations, cfg.position_iterations,
         n_slabs, K, W, jbps=jbps, vel_gated=vel_gated,
         pos_gated=pos_gated, tols=tols)
