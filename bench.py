@@ -204,6 +204,53 @@ def _suggest_window(st, cfg=None) -> int:
         return -1
 
 
+# --- per-config physics-quality bars (VERDICT r4 #4) ---------------------
+#
+# Every bench row carries a pass/fail quality verdict, not just
+# pair_overflow == 0.  The bar is max_penetration / box_half (box_half =
+# 0.5 in every box scene, scenes.py), chosen per scene from measured
+# settled states plus headroom — a regression that doubles penetration
+# fails the bar long before the scene visually breaks:
+#
+#   pile / envs:  settled piles measure ratio 0.32 @ 10k (deepest bench
+#                 pile; load grows with stack depth) and 0.025 at config
+#                 E's 256-box envs.  Bar 0.6 (pile) / 0.2 (envs).
+#   avalanche:    deep-wedge penetration (measured ratio 1.72 @ 100k
+#                 frame 1000) — adjudication of load-inherent vs
+#                 solver-fixable is a round-5 measurement task
+#                 (BASELINE.md records the verdict).  Bar 2.0 = the
+#                 measured value plus regression headroom, provisional
+#                 until the adjudication lands.
+#   chain/bridge/net: joint scenes — penetration is not the failure
+#                 mode; the bar is the joint residual (anchor drift),
+#                 measured 2.4e-3 settled -> bar 1e-2.
+#
+# Momentum drift is NOT a bench bar: every bench scene rests on a static
+# ground, whose support impulses change system momentum by m*g*dt every
+# frame BY DESIGN.  Momentum conservation is asserted where it is a real
+# invariant — free-space scenes in tests/test_property.py.
+_PEN_BARS = {"pile": 0.6, "envs": 0.2, "avalanche": 2.0}
+_RESIDUAL_BARS = {"chain": 1e-2, "bridge": 1e-2, "net": 1e-2}
+_BOX_HALF = 0.5
+
+
+def quality_verdict(scene: str, st) -> dict:
+    """Pass/fail physics-quality verdict for one bench row."""
+    overflow = int(st.stats.pair_overflow)
+    out = {"overflow_zero": overflow == 0}
+    if scene in _PEN_BARS:
+        ratio = float(st.stats.max_penetration) / _BOX_HALF
+        out["penetration_ratio"] = round(ratio, 4)
+        out["bar"] = _PEN_BARS[scene]
+        out["pass"] = (overflow == 0) and ratio <= _PEN_BARS[scene]
+    else:
+        res = float(st.stats.residual)
+        out["joint_residual"] = res
+        out["bar"] = _RESIDUAL_BARS.get(scene, 1e-2)
+        out["pass"] = (overflow == 0) and res <= out["bar"]
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--boxes", type=int, default=10000)
@@ -392,6 +439,9 @@ def main():
             "pair_impulse_iters_per_sec": round(pair_iters),
             "max_penetration": float(st.stats.max_penetration),
             "residual": float(st.stats.residual),
+            # per-config physics-quality bar (VERDICT r4 #4): a row is
+            # only as good as the physics it ran
+            "quality": quality_verdict(args.scene, st),
             "backend": jax.default_backend(),
             "solver_backend": args.backend,
             "noise_floor": noise_floor,

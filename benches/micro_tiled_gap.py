@@ -73,25 +73,18 @@ def main():
           f"({ms_s * 1e6 / nvisits:5.1f} ns/visit-equivalent of the "
           f"whole step; contacts {int(st.stats.num_contacts)})")
 
-    orig_f = solver.pallas_smem_bytes
-    orig_s = solver.pallas_streamed_smem_bytes
-    solver.pallas_smem_bytes = lambda n, c: 10 ** 9
-    solver.pallas_streamed_smem_bytes = lambda n: 10 ** 9
-    try:
-        for stride, halo in ((16384, 2048), (2048, 2048)):
-            jax.clear_caches()
-            c2 = cfg.replace(tile_stride=stride, tile_halo=halo)
-            ms_t, _ = measure(st, c2)
-            rps = stride - 128
-            n_slabs = -(-cfg.max_bodies // rps)
-            print(f"tiled stride {stride:6d} ({n_slabs} slabs): "
-                  f"{ms_t:7.2f} ms/step  (+{ms_t - ms_s:6.2f} vs "
-                  f"streamed; +{(ms_t - ms_s) * 1e6 / nvisits:5.1f} "
-                  f"ns/visit)")
-    finally:
-        solver.pallas_smem_bytes = orig_f
-        solver.pallas_streamed_smem_bytes = orig_s
-        jax.clear_caches()
+    del solver  # round 5: the forced backend replaced the SMEM
+    #             predicate monkeypatch (cfg-only delta, no cache games)
+    for stride, halo in ((16384, 2048), (2048, 2048)):
+        c2 = cfg.replace(solver_backend="pallas_tiled",
+                         tile_stride=stride, tile_halo=halo)
+        ms_t, _ = measure(st, c2)
+        rps = stride - 128
+        n_slabs = -(-cfg.max_bodies // rps)
+        print(f"tiled stride {stride:6d} ({n_slabs} slabs): "
+              f"{ms_t:7.2f} ms/step  (+{ms_t - ms_s:6.2f} vs "
+              f"streamed; +{(ms_t - ms_s) * 1e6 / nvisits:5.1f} "
+              f"ns/visit)")
 
 
 if __name__ == "__main__":

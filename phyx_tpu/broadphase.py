@@ -499,13 +499,12 @@ def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
                  ovf_band=z, ovf_slab=z)
 
 
-def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
-    """Sweep & prune for scenes beyond the plain kernel's SMEM envelope:
-    x-sorted AABB windows are DMA'd per slab and pairs stream to HBM
-    (kernels/sweep.py sweep_emit_tiled).  Long bodies use the dense lane
-    (same as the windowed sweep) since a slab window cannot span them."""
-    from phyx_tpu.kernels.sweep import sweep_emit_tiled
-
+def _sap_tiled_sort_stage(bodies: Bodies, cfg: SimConfig):
+    """Key computation + carried body sort + slab padding for the tiled
+    sweep — split out so benches/micro_broadphase_e.py can prefix-time
+    the SHIPPED sub-stages (VERDICT r4 #2).  Returns everything
+    sweep_emit_tiled consumes plus the long-lane outputs and the band
+    overflow count."""
     n = bodies.capacity
     k_long = min(cfg.sap_long_k, n)
     lo, hi = compute_aabbs(bodies)
@@ -612,6 +611,23 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
             else jnp.zeros((0, 2), jnp.float32)
         truex_sorted = jnp.concatenate(
             [jnp.stack([stxlo, stxhi], axis=1), pad2]).reshape(-1)
+    else:
+        truex_sorted = None
+    return (aabb_sorted, dyn_sorted, order_sorted, truex_sorted, nact,
+            n_slabs, K, W, mp, n_cross, d_pi, d_pj, d_valid)
+
+
+def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
+    """Sweep & prune for scenes beyond the plain kernel's SMEM envelope:
+    x-sorted AABB windows are DMA'd per slab and pairs stream to HBM
+    (kernels/sweep.py sweep_emit_tiled).  Long bodies use the dense lane
+    (same as the windowed sweep) since a slab window cannot span them."""
+    from phyx_tpu.kernels.sweep import sweep_emit_tiled
+
+    (aabb_sorted, dyn_sorted, order_sorted, truex_sorted, nact,
+     n_slabs, K, W, mp, n_cross, d_pi, d_pj, d_valid) = \
+        _sap_tiled_sort_stage(bodies, cfg)
+    if truex_sorted is not None:
         ppi, ppj, num_k, ovf_d, ovf_w = sweep_emit_tiled(
             aabb_sorted, dyn_sorted, order_sorted, nact, mp, n_slabs,
             K, W, truex_sorted=truex_sorted, exact_x=True)
@@ -699,6 +715,8 @@ def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
         return broadphase_sap_tiled(bodies, cfg)
     if cfg.broadphase == "sap_window":
         return broadphase_sap(bodies, cfg)
+    if cfg.solver_backend == "pallas_tiled":
+        return broadphase_sap_tiled(bodies, cfg)
     if cfg.solver_backend == "pallas":
         if _sweep_kernel_smem_bytes(bodies.capacity, cfg.max_pairs) \
                 <= 900 * 1024:

@@ -157,9 +157,16 @@ class SimConfig:
     sweep_band_cols: int = 0     # x-cells (X); head = X*B*R rows
 
     # --- solver backend ---
-    # "xla"    : pure-XLA gather/scatter sweeps (always available, the
-    #            correctness fallback per SURVEY.md §7.6)
-    # "pallas" : fused VMEM-resident Pallas iteration kernel (flagship)
+    # "xla"          : pure-XLA gather/scatter sweeps (always available,
+    #                  the correctness fallback per SURVEY.md §7.6)
+    # "pallas"       : fused SMEM-resident Pallas iteration kernel
+    #                  (flagship); auto-dispatches fused -> streamed ->
+    #                  tiled by capacity (step.solve_stage)
+    # "pallas_tiled" : FORCE the tiled slab-window kernel regardless of
+    #                  capacity (tests / micro benches / the multichip
+    #                  dryrun exercise the 100k-class path at small
+    #                  shapes this way; requires max_contacts % 1024 == 0
+    #                  and >= 2048, like the auto dispatch)
     solver_backend: str = "xla"
 
     def __post_init__(self):
@@ -168,7 +175,7 @@ class SimConfig:
         if self.broadphase not in ("n2", "sap", "sap_window", "sap_kernel",
                                    "sap_grid", "sap_tiled"):
             raise ValueError(f"unknown broadphase {self.broadphase!r}")
-        if self.solver_backend not in ("xla", "pallas"):
+        if self.solver_backend not in ("xla", "pallas", "pallas_tiled"):
             raise ValueError(f"unknown solver_backend {self.solver_backend!r}")
         if self.tile_stride % 128 or self.tile_halo % 128:
             raise ValueError("tile_stride/tile_halo must be multiples of 128")
@@ -185,3 +192,25 @@ class SimConfig:
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def rl_preset(cls, **kw) -> "SimConfig":
+        """Preset for RL-style batched-env workloads (mega-scenes of
+        small, genuinely-converging envs — BASELINE.md row E).
+
+        Sets ``velocity_rel_tol = 1e-2``: the scale-normalized velocity
+        gate, fenced at settled 1024-env config E as quality-NEUTRAL
+        (+24% round 4: 718 -> 888 env-steps/s with bit-identical
+        penetration; trajectory-divergence evidence in BASELINE.md
+        round-5 notes).  The gate changes fixed-iteration semantics, so
+        it is opt-in — this preset IS the opt-in.  Do NOT use it for
+        deep monolithic piles: a 10k-box pile re-solves every frame and
+        the gate either never fires or degrades physics (fenced
+        negative, BASELINE.md round-3 notes).  Add
+        ``position_rel_tol=1e-2`` only where ~+12% penetration is
+        acceptable for another ~+20% speed.
+
+        Any field can be overridden: ``SimConfig.rl_preset(
+        max_bodies=..., broadphase="sap", ...)``."""
+        kw.setdefault("velocity_rel_tol", 1e-2)
+        return cls(**kw)

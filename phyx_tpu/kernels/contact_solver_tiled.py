@@ -66,17 +66,22 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
     velocity pass then records its residual, and once a pass's residual
     falls below the RUNTIME threshold ``tol_ref[0]`` the remaining
     velocity passes skip their sweeps (same for displacement passes vs
-    ``tol_ref[1]``).  Round-4 dead-block skip: blocks of a converged
-    pass (and zero-live-row blocks on ANY pass after warm) skip their
-    input DMAs, waits, dispatch, and acc write-back entirely — only the
-    per-slab window DMA still streams, so a converged pass costs the
-    window round-trips alone."""
+    ``tol_ref[1]``).
+
+    Round-5 walk (VERDICT r4 #1): pass/slab/block indices are CARRIED
+    incrementally (the round-4 walk recomputed them with ~12 traced
+    div/rem per block — measured expensive on the scalar core), passes
+    p >= 1 walk ONLY live blocks (the round-4 skip saved dead blocks'
+    DMA + dispatch but still walked them; block budgets are capacity-
+    sized so most are dead at settled states), windows are DMA'd only
+    on slab CHANGE, and blocks of a converged gated pass are skipped
+    entirely.  The live-block visit order is unchanged, so physics is
+    bit-identical to the round-4 kernel."""
 
     n_passes = 1 + vel_iters + pos_iters
     bps = cbps + jbps
     has_joints = jbps > 0
     gated = vel_gated or pos_gated
-    total_per_pass_c = n_slabs * bps
 
     def kern(num_ref,                 # (2*n_slabs,) i32 SMEM live/slab (c, j)
              tol_ref,                 # (2,) f32 SMEM [vel, pos] thresholds
@@ -453,35 +458,77 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
 
         joint_pos_sweep = make_joint_pos_sweep(pos_gated)
 
-        # --- orchestration: pass -> slab -> block; contact double-buffer
-        # across blocks, synchronous window DMA per (pass, slab) ---
+        # --- orchestration: pass -> slab -> block (round 5 rework) ---
+        #
+        # The round-4 walk recomputed pass/slab/block indices from the
+        # global step id with ~12 traced integer div/rem per block —
+        # expensive on the single-issue scalar core (the streamed kernel
+        # carries (p, b) incrementally for exactly this reason, a
+        # measured round-2 win) — and walked every CAPACITY-sized block
+        # (the dead-block skip saved the DMA + dispatch, not the walk).
+        # Now the walk carries (p, s, bi) incrementally with ZERO traced
+        # div/rem per block, and on passes p >= 1 visits ONLY live
+        # blocks: slab s contributes ceil(counts[s]/BLK) contact blocks
+        # then ceil(counts_j[s]/BLK) joint blocks (an all-dead slab
+        # contributes one dummy step so the advance needs no inner
+        # loop).  The warm pass still walks all blocks (it zero-fills
+        # dead acc slots in HBM).  The live-block visit ORDER is
+        # unchanged (slab asc, contacts then joints, block asc), so
+        # physics is bit-identical.  Windows are DMA'd only when the
+        # slab CHANGES (a pass wrap on the same slab is a semantic
+        # no-op round trip).
 
-        def _cnt_of(blk):
-            s = blk // bps
-            bi = jax.lax.rem(blk, bps)
-            if has_joints:
-                return jnp.where(
-                    bi >= cbps,
-                    jnp.clip(num_ref[n_slabs + s] - (bi - cbps) * BLK,
-                             0, BLK),
-                    jnp.clip(num_ref[s] - bi * BLK, 0, BLK))
-            return jnp.clip(num_ref[s] - bi * BLK, 0, BLK)
+        BSH = BLK.bit_length() - 1
+        assert BLK == 1 << BSH
 
-        def _live(p, blk):
-            """Dead-block skip (round 4, VERDICT r3 weak #5): block
-            budgets are sized off CAPACITY, so at settled states most
-            blocks carry zero live rows — and a zero-row block is an
-            exact no-op for every pass p >= 1 (the warm pass must still
-            run: it zero-initializes the block's acc slots in HBM).
-            Skipping it drops 5 input DMAs + waits + dispatch + the acc
-            round-trip, the attributed ~4-5 us/block tiled-vs-streamed
-            gap (BASELINE.md round-4 notes).  In gated mode, blocks of
-            a converged pass are skipped the same way (round 3 merely
-            streamed their DMA).  Consistency: conv flags can latch
-            between the starter's decision and the waiter's turn, so
-            the waiter NEVER recomputes this predicate — it reads the
-            starter's decision from started_ref."""
-            alive = (p == 0) | (_cnt_of(blk) > 0)
+        def _ceil_blk(x):
+            return jax.lax.shift_right_logical(x + (BLK - 1), BSH)
+
+        def c_end(p, s):
+            """One past the last contact block index walked in slab s."""
+            live = jnp.minimum(_ceil_blk(num_ref[s]), cbps)
+            if n_slabs == 1:
+                # Hazard guard: a pass must span >= 2 walked steps so
+                # the next pass's first acc read is never issued in the
+                # same step that sweeps (and writes) that block.  With
+                # n_slabs >= 2 the per-slab dummy steps guarantee it;
+                # a single slab walks >= 2 contact blocks instead
+                # (cbps >= 2 enforced by solve_contacts_tiled).
+                live = jnp.maximum(live, 2)
+            return jnp.where(p == 0, cbps, live)
+
+        def j_end(p, s):
+            """One past the last joint block index (absolute, >= cbps)."""
+            if not has_joints:
+                return jnp.int32(bps)    # == cbps: no joint region
+            live = cbps + jnp.minimum(_ceil_blk(num_ref[n_slabs + s]), jbps)
+            return jnp.where(p == 0, bps, live)
+
+        def first_bi(p, s):
+            """First walked block of slab s on pass p; bps = dummy
+            sentinel for an all-dead slab (one no-op step)."""
+            ce = c_end(p, s)
+            je = j_end(p, s)
+            return jnp.where(ce > 0, 0, jnp.where(je > cbps, cbps, bps))
+
+        def advance(p, s, bi):
+            """Next (p, s, bi, pstart) after (p, s, bi) in the live
+            walk.  No div/rem; worst case ~4 SMEM reads."""
+            ce = c_end(p, s)
+            je = j_end(p, s)
+            nbi = bi + 1
+            # contacts exhausted -> joint region (or dummy-end)
+            nbi = jnp.where((bi < cbps) & (nbi >= ce),
+                            jnp.where(je > cbps, cbps, bps), nbi)
+            done = nbi >= je
+            wrap = s + 1 >= n_slabs
+            s2 = jnp.where(done, jnp.where(wrap, 0, s + 1), s)
+            p2 = jnp.where(done & wrap, p + 1, p)
+            bi2 = jnp.where(done, first_bi(p2, s2), nbi)
+            return p2, s2, bi2, done & wrap
+
+        def _gate_alive(p):
+            alive = p == p  # True
             if vel_gated:
                 alive = alive & ~((p >= 1) & (p <= vel_iters)
                                   & (conv_ref[0] == 1))
@@ -489,10 +536,12 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 alive = alive & ~((p > vel_iters) & (conv_ref[1] == 1))
             return alive
 
-        def do_block(g, cur, nxt, ci, ni, p, s, bi):
-            """g = global block step index (for buffer hazard bookkeeping);
-            bi = block-within-slab; global block id = s*bps + bi;
-            ci/ni = static buffer-set index (0 = set_a) of cur/nxt.
+        def do_block(cur, nxt, ci, ni, p, s, bi, pstart,
+                     np_, ns_, nbi_, has_next):
+            """(p, s, bi) = this step; (np_, ns_, nbi_) = next step
+            (valid iff has_next); ci/ni = static buffer-set index
+            (0 = set_a) of cur/nxt; pstart = first walked block of
+            pass p.
 
             started_ref[k]: 1 iff input DMAs are in flight for buffer
             set k (written by the block that started them, read by the
@@ -502,10 +551,15 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
             none); waited before the set's buffers are reused and in
             the final drain."""
             blk = s * bps + bi
+            dummy = bi >= bps
+            pass_end = has_next & (np_ != p) | ~has_next
 
-            @pl.when(g + 1 < total_blocks)
+            @pl.when(has_next)
             def _():
-                want = _live(_pass_of(g + 1), _blk_of(g + 1))
+                # Gated mode skips converged passes' blocks; a dummy
+                # step (all-dead slab) never owns DMA.  On p >= 1 every
+                # walked non-dummy block is live by construction.
+                want = (nbi_ < bps) & _gate_alive(np_)
                 started_ref[ni] = want.astype(jnp.int32)
 
                 @pl.when(want)
@@ -514,9 +568,20 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     def _():
                         acc_out_copy(nxt, pending_ref[ni] - 1).wait()
                         pending_ref[ni] = 0
-                    start_block(nxt, _blk_of(g + 1))
+                    # RAW airtightness: dummy/skipped steps defer the
+                    # usual pending wait, and HBM DMAs on different
+                    # semaphores are unordered — so ANY outstanding acc
+                    # write (either set) must land before new reads are
+                    # issued.  pending[ci] is 0 in steady state (waited
+                    # by the previous step's prefetch); this fires only
+                    # after skip runs.
+                    @pl.when(pending_ref[ci] > 0)
+                    def _():
+                        acc_out_copy(cur, pending_ref[ci] - 1).wait()
+                        pending_ref[ci] = 0
+                    start_block(nxt, ns_ * bps + nbi_)
 
-            mine = started_ref[ci] == 1
+            mine = (started_ref[ci] == 1) & ~dummy
 
             if has_joints:
                 is_j = (bi >= cbps).astype(jnp.int32)
@@ -534,13 +599,13 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 # residual (the gate reads it); reset at each pass start
                 # unless already converged.  Runtime thresholds from
                 # tol_ref (0.0 never fires).
-                @pl.when((blk == 0) & (p >= 1) & (p <= vel_iters)
+                @pl.when(pstart & (p >= 1) & (p <= vel_iters)
                          & (conv_ref[0] == 0))
                 def _():
                     res_ref[0] = 0.0
 
                 if pos_gated:
-                    @pl.when((blk == 0) & (p > vel_iters)
+                    @pl.when(pstart & (p > vel_iters)
                              & (conv_ref[1] == 0))
                     def _():
                         pres_ref[0] = 0.0
@@ -594,15 +659,15 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     pending_ref[ci] = blk + 1
 
                 # end of a velocity/position pass: latch convergence
-                # (outside the skip guard — a dead last block must
-                # still latch; res/pres survive skipped blocks)
-                @pl.when((blk == total_per_pass_c - 1) & (p >= 1)
+                # (outside the skip guard — a dummy/skipped last block
+                # must still latch; res/pres survive skipped blocks)
+                @pl.when(pass_end & (p >= 1)
                          & (p <= vel_iters) & (res_ref[0] < tol_ref[0]))
                 def _():
                     conv_ref[0] = 1
 
                 if pos_gated:
-                    @pl.when((blk == total_per_pass_c - 1)
+                    @pl.when(pass_end
                              & (p > vel_iters)
                              & (pres_ref[0] < tol_ref[1]))
                     def _():
@@ -611,7 +676,7 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 # Fixed-count mode: the residual is reported for the LAST
                 # velocity pass only, so earlier velocity passes run the
                 # no-residual sweep variant (~6 fewer ops per live visit).
-                @pl.when((blk == 0) & (p == vel_iters))
+                @pl.when(pstart & (p == vel_iters))
                 def _():
                     res_ref[0] = 0.0
 
@@ -646,38 +711,34 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     acc_out_copy(cur, blk).start()
                     pending_ref[ci] = blk + 1
 
-        total_per_pass = n_slabs * bps
-        total_blocks = n_passes * total_per_pass
+        # total walked steps: warm pass walks all blocks; each later pass
+        # walks the live blocks (>= 1 dummy step per all-dead slab)
+        def _count_live(s, acc):
+            lc = jnp.minimum(_ceil_blk(num_ref[s]), cbps)
+            if has_joints:
+                lc = lc + jnp.minimum(_ceil_blk(num_ref[n_slabs + s]),
+                                      jbps)
+            return acc + jnp.maximum(lc, 1)
 
-        def _blk_of(g):
-            return jax.lax.rem(g, total_per_pass)
+        live_per_pass = jax.lax.fori_loop(0, n_slabs, _count_live,
+                                          jnp.int32(0))
+        total_d = n_slabs * bps + (n_passes - 1) * live_per_pass
 
-        def _slab_of(g):
-            return _blk_of(g) // bps
-
-        def _bi_of(g):
-            return jax.lax.rem(_blk_of(g), bps)
-
-        def _pass_of(g):
-            return g // total_per_pass
-
-        # window handling at slab boundaries: when bi == 0, flush the
-        # previous window and load this slab's window BEFORE sweeping.
-        def maybe_window(g):
-            s = _slab_of(g)
-            bi = _bi_of(g)
-
-            @pl.when(bi == 0)
+        # window handling: flush + load only when the slab CHANGES (a
+        # pass wrap on the same slab would be a no-op round trip);
+        # dummy steps never touch the window.
+        def maybe_window(s, dummy, win_slab):
+            @pl.when((s != win_slab) & ~dummy)
             def _():
-                @pl.when(g > 0)
+                @pl.when(win_slab >= 0)
                 def _():
-                    prev = g - 1
-                    cpo = win_out(_slab_of(prev))
+                    cpo = win_out(win_slab)
                     cpo.start()
                     cpo.wait()
                 cpi = win_in(s)
                 cpi.start()
                 cpi.wait()
+            return jnp.where(dummy, win_slab, s)
 
         start_block(set_a, jnp.int32(0))   # block 0 = warm pass: always live
         started_ref[0] = 1
@@ -685,21 +746,39 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
         pending_ref[0] = 0
         pending_ref[1] = 0
 
-        def g2step(h, _):
-            g = 2 * h
-            maybe_window(g)
-            do_block(g, set_a, set_b, 0, 1,
-                     _pass_of(g), _slab_of(g), _bi_of(g))
+        def one_step(has_self, has_next, st, cur, nxt, ci, ni):
+            """Execute one walked step from state st = (p, s, bi,
+            pstart, win_slab) and return the advanced state.  The step
+            body is guarded by ``has_self`` (the window DMA inside
+            maybe_window and everything in do_block are side effects);
+            the returned state only advances when the step ran."""
+            p, s, bi, pstart, win_slab = st
+            np_, ns_, nbi_, npstart = advance(p, s, bi)
+            dummy = bi >= bps
 
-            @pl.when(g + 1 < total_blocks)
+            @pl.when(has_self)
             def _():
-                g1 = g + 1
-                maybe_window(g1)
-                do_block(g1, set_b, set_a, 1, 0,
-                         _pass_of(g1), _slab_of(g1), _bi_of(g1))
-            return 0
+                maybe_window(s, dummy, win_slab)
+                do_block(cur, nxt, ci, ni, p, s, bi, pstart,
+                         np_, ns_, nbi_, has_next)
 
-        jax.lax.fori_loop(0, (total_blocks + 1) // 2, g2step, 0)
+            win2 = jnp.where(has_self & ~dummy, s, win_slab)
+            return (jnp.where(has_self, np_, p),
+                    jnp.where(has_self, ns_, s),
+                    jnp.where(has_self, nbi_, bi),
+                    jnp.where(has_self, npstart, pstart), win2)
+
+        def g2step(h, st):
+            g = 2 * h
+            true_ = h >= 0
+            st = one_step(true_, g + 1 < total_d, st, set_a, set_b, 0, 1)
+            st = one_step(g + 1 < total_d, g + 2 < total_d, st,
+                          set_b, set_a, 1, 0)
+            return st
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(1) == 1, jnp.int32(-1))
+        final = jax.lax.fori_loop(0, (total_d + 1) // 2, g2step, init)
 
         # drain: at most one acc write-back outstanding per buffer set
         @pl.when(pending_ref[0] > 0)
@@ -710,9 +789,11 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
         def _():
             acc_out_copy(set_b, pending_ref[1] - 1).wait()
 
-        cpo = win_out(_slab_of(jnp.int32(total_blocks - 1)))
-        cpo.start()
-        cpo.wait()
+        @pl.when(final[4] >= 0)
+        def _():
+            cpo = win_out(final[4])
+            cpo.start()
+            cpo.wait()
 
     return kern
 
@@ -756,6 +837,9 @@ def solve_contacts_tiled(
     bps = s_cap // (n_slabs * BLK)
     cbps = bps - jbps
     assert cbps >= 1
+    # hazard guard (see c_end): a single-slab walk needs >= 2 contact
+    # blocks so no pass is a single step
+    assert n_slabs > 1 or cbps >= 2, (n_slabs, cbps)
     npad = body_flat.shape[0] // 8
     assert (n_slabs - 1) * slab_stride + window_rows <= npad
     if tols is None:

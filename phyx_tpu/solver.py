@@ -656,6 +656,8 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     tiled_overflow = (live & ~rep2(pin)).sum(dtype=jnp.int32)
 
     cbps = -(-(2 * c // n_slabs) // BLK)          # blocks per slab (2x avg)
+    if n_slabs == 1:
+        cbps = max(cbps, 2)   # kernel hazard guard: >= 2 walked steps/pass
     cap_c = cbps * BLK
     cols_c = (
         contacts.normal[:, 0], contacts.normal[:, 1],

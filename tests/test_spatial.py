@@ -156,6 +156,54 @@ def test_pallas_backend_under_shard_map():
     assert int(sst.stats.pair_overflow[0]) == 0
 
 
+def test_tiled_backend_under_shard_map():
+    """The TILED solver composes with spatial sharding (VERDICT r4
+    missing #5): the 100k-class scenes that spatial sharding targets
+    select the tiled backend, which must run per shard under shard_map +
+    ppermute halo exchange exactly like the fused kernel does.  Forced
+    tiny via solver_backend="pallas_tiled" (same kernel, small shapes);
+    parity vs the unsharded tiled step."""
+    cfg = base_cfg(solver_backend="pallas_tiled", max_bodies=128,
+                   max_pairs=1024, sap_window=32,
+                   tile_stride=256, tile_halo=256)
+    sb = SceneBuilder(cfg)
+    sb.add_box((0.0, -1.0), (40.0, 1.0), static=True)
+    for s in range(8):
+        for k in range(2):
+            sb.add_box((-14.0 + s * 4.0, 0.5 + 1.02 * k), (0.5, 0.5))
+    st = sb.build()
+    solo = rollout(st, cfg, 3)
+
+    # forced tiled needs >= 2*BLK contact slots per shard
+    sst, lcfg, meta = shard_spatial(st, cfg, 4, 8,
+                                    max_pairs_per_shard=1024)
+    assert lcfg.solver_backend == "pallas_tiled"
+    sst = spatial_rollout(sst, lcfg, mesh(4), meta, 3)
+    back = unshard(sst, meta, st)
+
+    act = np.asarray(st.bodies.active)
+    np.testing.assert_allclose(np.asarray(back.bodies.pos)[act],
+                               np.asarray(solo.bodies.pos)[act], atol=5e-3)
+    assert int(sst.stats.pair_overflow[0]) == 0
+    assert not np.isnan(np.asarray(back.bodies.pos)).any()
+
+
+def test_forced_tiled_backend_matches_auto_small():
+    """solver_backend="pallas_tiled" is the same physics as the fused
+    path at convergence level (the tiled kernel re-sorts rows by slab:
+    convergence-level parity, like the 100k auto dispatch)."""
+    cfg = base_cfg(solver_backend="pallas", max_bodies=128,
+                   max_pairs=1024, sap_window=32)
+    tcfg = cfg.replace(solver_backend="pallas_tiled",
+                       tile_stride=256, tile_halo=256)
+    st = stacks_scene(cfg, n_stacks=4, height=3)
+    a = rollout(st, cfg, 20)
+    b = rollout(st, tcfg, 20)
+    np.testing.assert_allclose(np.asarray(b.bodies.pos),
+                               np.asarray(a.bodies.pos), atol=5e-3)
+    assert int(b.stats.pair_overflow) == 0
+
+
 def test_suggest_halo():
     cfg = base_cfg()
     st = stacks_scene(cfg)
