@@ -211,26 +211,33 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
 
             k_hi = jnp.minimum(slab_stride, na - base)
 
+            CH = 4   # candidates tested per walk-loop iteration
+
             def outer(k, carry):
                 cnt, ovf, ovfw = carry
                 hix = aabb_s[k * 4 + 2]
                 loy = aabb_s[k * 4 + 1]
                 hiy = aabb_s[k * 4 + 3]
                 di = dyn_s[k]
+                oi = ord_s[k]
                 t_hix = tx_s[k * 2 + 1] if exact_x else None
 
-                def cond(state):
-                    j, cnt, ovf = state
-                    in_rng = jnp.logical_and(j < window_rows,
-                                             base + j < na)
-                    return jnp.logical_and(in_rng, aabb_s[j * 4] <= hix)
-
-                def body(state):
-                    j, cnt, ovf = state
+                def accept(j, cnt, ovf, with_x):
+                    """Full accept test + emission for candidate j.
+                    ``with_x`` additionally folds the walk's x-open and
+                    range tests into ok — the chunked walk over-scans up
+                    to CH-1 candidates past the close point, which is
+                    EXACT because sorted xlo is monotone (a closed
+                    interval never reopens) and the emission order is
+                    unchanged (j ascending)."""
                     ok = jnp.logical_and(
                         jnp.logical_and(aabb_s[j * 4 + 1] <= hiy,
                                         loy <= aabb_s[j * 4 + 3]),
                         (di + dyn_s[j]) > 0)
+                    if with_x:
+                        ok = jnp.logical_and(
+                            ok, jnp.logical_and(aabb_s[j * 4] <= hix,
+                                                base + j < na))
                     if exact_x:
                         # true-x accept: pad-inflated walk candidates
                         # whose real intervals are disjoint die here
@@ -241,7 +248,7 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                     @pl.when(fits)
                     def _():
                         slot = jax.lax.rem(cnt, STAGE)
-                        pi_st[slot] = ord_s[k]
+                        pi_st[slot] = oi
                         pj_st[slot] = ord_s[j]
 
                     new_cnt = cnt + jnp.where(fits, 1, 0)
@@ -252,10 +259,46 @@ def sweep_emit_tiled(aabb_sorted: jax.Array,  # (Npad*4,) f32 x-sorted rows
                         flush(cnt, STAGE)
 
                     ovf = ovf + jnp.where(jnp.logical_and(ok, ~fits), 1, 0)
-                    return j + 1, new_cnt, ovf
+                    return new_cnt, ovf
+
+                # Chunked walk: CH candidates per hardware-loop iteration
+                # (the while-loop's per-iteration overhead dominated the
+                # ~6 loads of a candidate test; same amortization as the
+                # solver kernels' 16x sweep unroll).  The loop advances
+                # while the CHUNK START is x-open; candidates inside a
+                # chunk carry their own x test (see accept).
+                def ccond(state):
+                    j, cnt, ovf = state
+                    in_rng = jnp.logical_and(j + CH <= window_rows,
+                                             base + j < na)
+                    return jnp.logical_and(in_rng, aabb_s[j * 4] <= hix)
+
+                def cbody(state):
+                    j, cnt, ovf = state
+                    for o in range(CH):
+                        cnt, ovf = accept(j + o, cnt, ovf, True)
+                    return j + CH, cnt, ovf
+
+                j, cnt, ovf = jax.lax.while_loop(ccond, cbody,
+                                                 (k + 1, cnt, ovf))
+
+                # scalar tail: picks up at the first non-open/unchecked
+                # chunk start and finishes with the ORIGINAL per-candidate
+                # walk (also covers the last CH window rows), so the exit
+                # j and the still_open accounting below are exact.
+                def cond(state):
+                    j, cnt, ovf = state
+                    in_rng = jnp.logical_and(j < window_rows,
+                                             base + j < na)
+                    return jnp.logical_and(in_rng, aabb_s[j * 4] <= hix)
+
+                def body(state):
+                    j, cnt, ovf = state
+                    cnt, ovf = accept(j, cnt, ovf, False)
+                    return j + 1, cnt, ovf
 
                 j, cnt, ovf = jax.lax.while_loop(cond, body,
-                                                 (k + 1, cnt, ovf))
+                                                 (j, cnt, ovf))
                 # window truncation: interval still open at window end
                 still_open = jnp.logical_and(
                     j >= window_rows,
