@@ -75,7 +75,18 @@ def main():
 
     del solver  # round 5: the forced backend replaced the SMEM
     #             predicate monkeypatch (cfg-only delta, no cache games)
-    for stride, halo in ((16384, 2048), (2048, 2048)):
+    # (16512, 128) = ONE slab spanning the whole 16384-cap body table:
+    # the tiled kernel becomes the streamed shell (window loads once,
+    # since round 5 windows only DMA on slab CHANGE) — any remaining
+    # gap vs streamed is pure per-block orchestration / visit
+    # scheduling, not slab windows (VERDICT r4 #1 experiment a).
+    # (16384, 8192) inflates per-pass window traffic by +33% at the
+    # same slab count/blocks: if the gap grows proportionally, the
+    # synchronous window DMA (start+wait, unoverlapped) is the cost —
+    # per-pass window rows = n_slabs * (K + H), which is why 2 and 9
+    # slabs measured identical (36864 rows/pass both).
+    for stride, halo in ((16512, 128), (16384, 2048), (16384, 8192),
+                         (2048, 2048)):
         c2 = cfg.replace(solver_backend="pallas_tiled",
                          tile_stride=stride, tile_halo=halo)
         ms_t, _ = measure(st, c2)
