@@ -27,11 +27,16 @@ item() {  # item <seconds-budget> <label> <cmd...>
 
 say "queue r5 start (TTL ${TTL}s) — incremental-walk tiled kernel"
 
-# 1. VERDICT r4 #1 decision micro: gap vs streamed on the same settled
-#    10k state.  Round-4 record: streamed 36.97, tiled 2-slab 41.88
-#    (+7.4 ns/visit).  Physics stats must be bit-identical to round 4.
+# 1. VERDICT r4 #1 decision micro — RAN 2026-08-19 23:10 (log above):
+#    streamed 37.01, tiled 2-slab 41.03 (+6.1 ns/visit, was +7.4),
+#    9-slab 41.99.  The remaining-gap fence (1-slab zero-window-traffic
+#    leg + halo-inflated leg) runs as the LAST item below, after the
+#    headline rows.
+SKIP_ITEM1=${SKIP_ITEM1:-1}
+if [ "$SKIP_ITEM1" != "1" ]; then
 item 3600 "micro: tiled-vs-streamed gap @ 10k (incremental walk)" \
   python benches/micro_tiled_gap.py
+fi
 
 # 2. Settled E ungated headline.  Round-4 record: 867.2 env-steps/s,
 #    contacts 823080, pairs 453429, penetration 0.012642592191696167 —
@@ -75,5 +80,12 @@ item 1800 "1k pile (HEAD row)" python bench.py --boxes 1000 --steps 200 --settle
 item 1800 "1000-link chain (HEAD row)" python bench.py --scene chain --boxes 1000 --steps 100
 item 2400 "20k avalanche (HEAD row, fixed invocation)" \
   python bench.py --scene avalanche --boxes 20000 --steps 10 --settle 300 --autotune
+
+# 13. Window-DMA fence: 1-slab leg (window loads ONCE under the
+#     slab-change-only rule -> residual gap = pure per-block/visit) and
+#     halo-inflated leg (+33% window rows/pass at the same slab count
+#     -> slope gives the synchronous window DMA cost).
+item 4800 "micro: tiled gap w/ 1-slab + inflated-halo window fence" \
+  python benches/micro_tiled_gap.py
 
 say "queue r5 done (terminal marker)"
