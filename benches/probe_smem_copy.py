@@ -83,6 +83,8 @@ def main():
     for mode in ("smem", "hbm"):
         y = bounce(x, 1, mode)
         assert float(y[12345]) == 12345.0, "copy chain corrupted data"
+        for reps in (64, 128):          # warm: compile both shapes untimed
+            float(bounce(x, reps, mode)[0])
         for reps in (64, 128):
             t0 = time.perf_counter()
             y = bounce(x, reps, mode)

@@ -38,6 +38,12 @@ item 3600 "micro: tiled-vs-streamed gap @ 10k (incremental walk)" \
   python benches/micro_tiled_gap.py
 fi
 
+# 1b. Seconds-long probe: HBM<->SMEM DMA bandwidth at window-sized
+#     transfers + SMEM->SMEM feasibility (prices the window-DMA
+#     hypothesis before the item-13 fence; informs the overlap design).
+item 900 "probe: SMEM copy bandwidth (window-sized)" \
+  python benches/probe_smem_copy.py
+
 # 2. Settled E ungated headline.  Round-4 record: 867.2 env-steps/s,
 #    contacts 823080, pairs 453429, penetration 0.012642592191696167 —
 #    stats MUST be bit-identical (the walk visits the same live blocks
@@ -55,6 +61,15 @@ item 4200 "config E 1024 envs, both gates 1e-2" \
 
 # 5. 20k pile: tiled path, round-4 record 11.18 (same-session 9.90 base)
 item 2400 "20k pile (incremental walk)" python bench.py --boxes 20000 --steps 50
+
+# 5b (was 13). Window-DMA fence: 1-slab leg (window loads ONCE under
+#     the slab-change-only rule -> residual gap = pure per-block/visit)
+#     and halo-inflated leg (+33% window rows/pass at the same slab
+#     count -> slope gives the synchronous window DMA cost).  Runs
+#     right after the headline rows: it DECIDES which kernel rework
+#     (window overlap vs switch-free phase walk) this session builds.
+item 4800 "micro: tiled gap w/ 1-slab + inflated-halo window fence" \
+  python benches/micro_tiled_gap.py
 
 # 6. VERDICT r4 #2: broadphase intra-stage attribution at settled E
 item 4200 "micro: broadphase E ablation (sort/sweep/exact-x/finalize)" \
@@ -80,12 +95,5 @@ item 1800 "1k pile (HEAD row)" python bench.py --boxes 1000 --steps 200 --settle
 item 1800 "1000-link chain (HEAD row)" python bench.py --scene chain --boxes 1000 --steps 100
 item 2400 "20k avalanche (HEAD row, fixed invocation)" \
   python bench.py --scene avalanche --boxes 20000 --steps 10 --settle 300 --autotune
-
-# 13. Window-DMA fence: 1-slab leg (window loads ONCE under the
-#     slab-change-only rule -> residual gap = pure per-block/visit) and
-#     halo-inflated leg (+33% window rows/pass at the same slab count
-#     -> slope gives the synchronous window DMA cost).
-item 4800 "micro: tiled gap w/ 1-slab + inflated-halo window fence" \
-  python benches/micro_tiled_gap.py
 
 say "queue r5 done (terminal marker)"
