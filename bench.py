@@ -421,6 +421,7 @@ def main():
         metric = f"steps/sec @ {args.boxes}-box {args.scene}"
         value = round(steps_per_sec, 2)
         unit = "steps/sec"
+    suggested_window = _suggest_window(st, cfg)
     print(json.dumps({
         "metric": metric,
         "value": value,
@@ -447,7 +448,17 @@ def main():
             "noise_floor": noise_floor,
             # window-sizing policy readout on the measured (settled) state:
             # compare against --sap-window; resize if overflow fires
-            "suggested_sap_window": _suggest_window(st, cfg),
+            "suggested_sap_window": suggested_window,
+            # policy-drift check (VERDICT r4 weak #6): UNDER = the
+            # configured window is smaller than the policy's suggestion
+            # (truncation risk; ovf_window says whether it actually
+            # fired), OVER = configured > 2x suggestion (wasted sweep
+            # walk), ok otherwise.  Makes a drifting suggest_sap_window
+            # policy visible in every bench row instead of being an
+            # unread readout.
+            "window_policy": ("UNDER" if cfg.sap_window < suggested_window
+                              else "OVER" if cfg.sap_window
+                              > 2 * suggested_window else "ok"),
             "autotune": ({"final_window": cfg.sap_window,
                           "final_hits": cfg.sap_hits,
                           "final_pairs": cfg.max_pairs,
