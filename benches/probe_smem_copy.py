@@ -74,10 +74,66 @@ def bounce(x: jax.Array, reps: int, mode: str) -> jax.Array:
     )(x)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def ring_probe(x: jax.Array, offs: jax.Array, n: int) -> jax.Array:
+    """Feasibility: DMA HBM->SMEM and SMEM->HBM at TRACED SMEM offsets
+    (the ring-window design needs both; CLAUDE.md's 'scratch cannot be
+    indexed by traced values' hazard is about selecting WHICH scratch
+    ref — scalar loads already use traced indices — but traced pl.ds
+    DMA offsets into SMEM are unproven on real TPU; interpret mode
+    hides Mosaic restrictions).
+
+    Copies x[0:1024] -> scr[o0:o0+1024] and x[1024:2048] ->
+    scr[o1:o1+1024] (o0, o1 read from SMEM input, 1024-aligned), then
+    scr[o0...] -> out[0:1024], scr[o1...] -> out[1024:2048]; out should
+    equal x[0:2048] bit-exactly."""
+
+    def kern(off_ref, x_hbm, out_hbm, scr, sem):
+        o0 = off_ref[0]
+        o1 = off_ref[1]
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, 1024)],
+            scr.at[pl.ds(pl.multiple_of(o0, 1024), 1024)], sem)
+        cp.start(); cp.wait()
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(1024, 1024)],
+            scr.at[pl.ds(pl.multiple_of(o1, 1024), 1024)], sem)
+        cp.start(); cp.wait()
+        cp = pltpu.make_async_copy(
+            scr.at[pl.ds(pl.multiple_of(o0, 1024), 1024)],
+            out_hbm.at[pl.ds(0, 1024)], sem)
+        cp.start(); cp.wait()
+        cp = pltpu.make_async_copy(
+            scr.at[pl.ds(pl.multiple_of(o1, 1024), 1024)],
+            out_hbm.at[pl.ds(1024, 1024)], sem)
+        cp.start(); cp.wait()
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((2048,), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SMEM((n,), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=_use_interpret(),
+    )(offs, x)
+
+
 def main():
     from bench import acquire_tpu_lock
     if jax.default_backend() == "tpu" or not _use_interpret():
         acquire_tpu_lock()
+
+    # --- ring feasibility first (cheap; decides the window design) ---
+    xr = jnp.arange(4096, dtype=jnp.float32)
+    for o0, o1 in ((2048, 0), (1024, 3072)):
+        offs = jnp.array([o0, o1], jnp.int32)
+        y = ring_probe(xr, offs, 4096)
+        ok = bool(jnp.array_equal(y[:2048], xr[:2048]))
+        print(f"ring traced-offset DMA (o0={o0}, o1={o1}): "
+              f"{'OK' if ok else 'CORRUPTED'}", flush=True)
+
     n = ROWS * 8
     x = jnp.arange(n, dtype=jnp.float32)
     for mode in ("smem", "hbm"):
