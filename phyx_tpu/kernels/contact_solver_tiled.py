@@ -171,8 +171,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 r1y = conr[cb + 3]
                 r2x = conr[cb + 4]
                 r2y = conr[cb + 5]
-                i = b12r[2 * k]
-                j = b12r[2 * k + 1]
+                i = b12r[k]
+                j = b12r[BLK + k]
                 im1 = win_ref[i + 3]
                 ii1 = win_ref[i + 4]
                 im2 = win_ref[j + 3]
@@ -218,8 +218,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     fr = conr[cb + 8]
                     dstv = conr[cb + 9]
                     ctn = conr[cb + 11]
-                    i = b12r[2 * k]
-                    j = b12r[2 * k + 1]
+                    i = b12r[k]
+                    j = b12r[BLK + k]
                     im1 = win_ref[i + 3]
                     ii1 = win_ref[i + 4]
                     im2 = win_ref[j + 3]
@@ -283,8 +283,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                     r2y = conr[cb + 5]
                     mn = conr[cb + 6]
                     ddv = conr[cb + 10]
-                    i = b12r[2 * k]
-                    j = b12r[2 * k + 1]
+                    i = b12r[k]
+                    j = b12r[BLK + k]
                     im1 = win_ref[i + 3]
                     ii1 = win_ref[i + 4]
                     im2 = win_ref[j + 3]
@@ -356,8 +356,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 wy = conr[cb + 13]
                 px = jnp.where(is_rev, wx, conr[cb] * wx)
                 py = jnp.where(is_rev, wy, conr[cb + 1] * wx)
-                i = b12r[2 * k]
-                j = b12r[2 * k + 1]
+                i = b12r[k]
+                j = b12r[BLK + k]
                 joint_apply(i, j, r1x, r1y, r2x, r2y, px, py, 0)
                 accr[k * 4] = wx
                 accr[k * 4 + 1] = jnp.where(is_rev, wy, 0.0)
@@ -374,8 +374,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 def one(k, _):
                     cb = k * 14
                     is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
-                    i = b12r[2 * k]
-                    j = b12r[2 * k + 1]
+                    i = b12r[k]
+                    j = b12r[BLK + k]
                     vx1 = win_ref[i]
                     vy1 = win_ref[i + 1]
                     w1 = win_ref[i + 2]
@@ -417,8 +417,8 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
                 def one(k, _):
                     cb = k * 14
                     is_rev, r1x, r1y, r2x, r2y = joint_geom(conr, cb)
-                    i = b12r[2 * k]
-                    j = b12r[2 * k + 1]
+                    i = b12r[k]
+                    j = b12r[BLK + k]
                     px1 = win_ref[i + 5]
                     py1 = win_ref[i + 6]
                     q1 = win_ref[i + 7]
@@ -805,7 +805,9 @@ def _tiled_kernel(vel_iters: int, pos_iters: int, n_slabs: int,
 def solve_contacts_tiled(
     body_flat: jax.Array,    # (Npad*8,) f32, x-rank permuted, Npad mult 128
     b12_flat: jax.Array,     # (S*2,) i32 window-LOCAL row offsets (x8),
-    #   interleaved [b1, b2] per slot, slab-sorted+padded
+    #   block-transposed: each BLK-slot block is [b1 x BLK][b2 x BLK]
+    #   (round 5: k / BLK+k reads beat per-visit 2k/2k+1 address math),
+    #   slab-sorted+padded
     cw_flat: jax.Array,      # (S*14,) f32 [12 con cols | warm_n | warm_t]
     slab_counts: jax.Array,  # (2*n_slabs,) i32 live contact/joint per slab
     vel_iters: int,
