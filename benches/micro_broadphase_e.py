@@ -114,7 +114,7 @@ def main():
 
     def emit(b, exact):
         (aabb_sorted, dyn_sorted, order_sorted, truex_sorted, nact,
-         n_slabs, K, W, mp, n_cross, d_pi, d_pj, d_valid) = \
+         n_slabs, K, W, mp, n_cross, d_pi, d_pj, d_valid, _rt) = \
             bp._sap_tiled_sort_stage(b, cfg)
         if truex_sorted is not None and exact:
             ppi, ppj, num_k, ovf_d, ovf_w = sweep_emit_tiled(

@@ -55,12 +55,19 @@ def measure(st, cfg, steps=50):
 
 
 def main():
+    import os
+
     from bench import acquire_tpu_lock, build
     acquire_tpu_lock()
     from phyx_tpu import solver
     from phyx_tpu.step import rollout
 
-    cfg, st = build("pile", 10000, "pallas", "sap_grid", 192, 8)
+    # PHYX_MICRO_BP=sap_tiled runs BOTH legs off the tiled sweep's
+    # candidate stream (identical emission; the tiled legs then finalize
+    # slab-major and run the round-5 slab-segmented kernel) — the
+    # default sap_grid keeps the historical legacy-kernel protocol.
+    bp = os.environ.get("PHYX_MICRO_BP", "sap_grid")
+    cfg, st = build("pile", 10000, "pallas", bp, 192, 8)
     st = rollout(st, cfg, 100)
     for _ in range(2):
         st = rollout(st, cfg, 100)

@@ -41,6 +41,32 @@ EMPTY = ContactCache.EMPTY  # int32 sentinel key, sorts last
 
 
 @_pytree_dataclass
+class TiledRouting:
+    """Slab-routing byproducts of the slab-major tiled broadphase
+    (round 5): everything solver.solve_pallas_tiled2 needs to run the
+    slab-segmented kernel with ZERO routing sorts of its own.  The
+    round-4 path re-sorted contacts into per-slab block budgets with a
+    20-operand sort and inverted it for the accumulators; here the pair
+    finalize sort itself is keyed (slab, pi, pj), so contacts arrive
+    slab-major and these fields ride along.
+
+    ``lb1``/``lb2`` are WINDOW-LOCAL embedded endpoint rows (x8, ready
+    for the kernel's SMEM addressing), clamped into their pair's slab
+    window; ``pair_cum[s]`` counts kept pairs of slabs < s (cum[-1] =
+    kept total).  ``order``/``ranked_cols`` are the broadphase body
+    sort's permutation (rank -> id) and the body value columns
+    (vel x/y, angvel, inv_mass, inv_inertia) carried through that sort,
+    from which the solver builds its embedded body table without
+    re-sorting."""
+
+    order: jax.Array        # (N,)  i32 body id at rank r
+    ranked_cols: jax.Array  # (N, 5) f32 body values in rank order
+    lb1: jax.Array          # (P,)  i32 window-local row of pi (x8)
+    lb2: jax.Array          # (P,)  i32 window-local row of pj (x8)
+    pair_cum: jax.Array     # (n_slabs+1,) i32 kept-pair cumsum
+
+
+@_pytree_dataclass
 class Pairs:
     """Fixed-capacity candidate pair buffer (output of broadphase).
 
@@ -59,8 +85,12 @@ class Pairs:
     ovf_slots: jax.Array   # () int32 per-body hit-slot spills
     ovf_drop: jax.Array    # () int32 pair-buffer drops
     ovf_band: jax.Array    # () int32 band crossers / segsort drifters
-    ovf_slab: jax.Array    # () int32 tiled-SOLVER slab clamps (zero from
-    #                        broadphase; step.solve_stage fills it in)
+    ovf_slab: jax.Array    # () int32 tiled-solver slab clamps (counted
+    #                        here on the slab-major path, else added by
+    #                        step.solve_stage's legacy tiled routing)
+    # slab-major tiled path only (broadphase_sap_tiled with
+    # emit_routing); None everywhere else
+    routing: TiledRouting | None = None
 
     @staticmethod
     def of(pi, pj, valid, num, overflow=0, ovf_window=0, ovf_slots=0,
@@ -218,6 +248,65 @@ def _finish(pi, pj, valid, max_pairs, n_cap=None,
         ovf_drop=ovf_drop,
         ovf_band=ovf_band,
         ovf_slab=jnp.zeros((), jnp.int32),
+    )
+
+
+def _finish_slab_major(pi, pj, valid, lb1, lb2, slab, max_pairs, n_cap,
+                       n_slabs, order_n, ranked_cols,
+                       ovf_window=0, ovf_slots=0, ovf_drop=0, ovf_band=0,
+                       ovf_slab=0) -> Pairs:
+    """Slab-major variant of _finish (round 5): compact candidates into
+    the fixed pair buffer sorted by (slab, pi, pj) — (slab, pi) pack
+    into one int32 key (tiling.routing_bits_ok guards the fit) — with
+    the routed endpoint rows riding the sort as payloads.  The kept-pair
+    per-slab cumsum falls out of a searchsorted on the packed key.
+    Attaches TiledRouting for solver.solve_pallas_tiled2."""
+    pi = pi.reshape(-1).astype(jnp.int32)
+    pj = pj.reshape(-1).astype(jnp.int32)
+    valid = valid.reshape(-1)
+    num = valid.sum(dtype=jnp.int32)
+
+    bits = max(1, int(n_cap - 1).bit_length())
+    key1 = jnp.where(valid, (slab << bits) | pi, jnp.int32(EMPTY))
+    pjv = jnp.where(valid, pj, EMPTY)
+    key_s, pj_s, lb1_s, lb2_s = jax.lax.sort(
+        (key1, pjv, lb1, lb2), num_keys=2)
+
+    def cut(x, fill):
+        return jax.lax.dynamic_slice_in_dim(x, 0, max_pairs) \
+            if x.shape[0] >= max_pairs else jnp.pad(
+                x, (0, max_pairs - x.shape[0]), constant_values=fill)
+
+    key_o = cut(key_s, EMPTY)
+    pj_out = cut(pj_s, EMPTY)
+    lb1_o = cut(lb1_s, 0)
+    lb2_o = cut(lb2_s, 0)
+    e = key_o == jnp.int32(EMPTY)
+    pi_out = jnp.where(e, EMPTY, key_o & jnp.int32((1 << bits) - 1))
+    pair_cum = jnp.searchsorted(
+        key_o, jnp.arange(n_slabs + 1, dtype=jnp.int32) << bits,
+        side="left").astype(jnp.int32)
+
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    ovf_window = i32(ovf_window)
+    ovf_slots = i32(ovf_slots)
+    ovf_band = i32(ovf_band)
+    ovf_slab = i32(ovf_slab)
+    ovf_drop = i32(ovf_drop) + jnp.maximum(num - max_pairs, 0)
+    return Pairs(
+        pi=pi_out,
+        pj=pj_out,
+        valid=pi_out != EMPTY,
+        num=jnp.minimum(num, max_pairs),
+        overflow=(ovf_window + ovf_slots + ovf_drop + ovf_band
+                  + ovf_slab),
+        ovf_window=ovf_window,
+        ovf_slots=ovf_slots,
+        ovf_drop=ovf_drop,
+        ovf_band=ovf_band,
+        ovf_slab=ovf_slab,
+        routing=TiledRouting(order=order_n, ranked_cols=ranked_cols,
+                             lb1=lb1_o, lb2=lb2_o, pair_cum=pair_cum),
     )
 
 
@@ -499,12 +588,51 @@ def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
                  ovf_band=z, ovf_slab=z)
 
 
-def _sap_tiled_sort_stage(bodies: Bodies, cfg: SimConfig):
+def _routing_rank_sort(bodies: Bodies, lo, hi, cfg: SimConfig):
+    """Body ranking for the slab-major tiled solver: EXACTLY the legacy
+    solve-side xorder keys — where(active, banded_lo_x, inf), segmented
+    per band when the band-grid layout is static — so slab assignment
+    matches the round-4 path body for body (including the k_long widest
+    bodies, which the sweep sort parks at +inf but the solver embedding
+    must keep at their true x-rank).  The 5 body value columns ride as
+    payloads; returns (order (N,) i32, ranked_cols (N, 5) f32)."""
+    n = bodies.capacity
+    swx_lo, _, _, _ = banded_x(lo, hi, bodies.active, cfg)
+    keys = jnp.where(bodies.active, swx_lo, jnp.float32(jnp.inf))
+    ids = jnp.arange(n, dtype=jnp.int32)
+    cols = (keys, ids,
+            bodies.vel[:, 0], bodies.vel[:, 1], bodies.angvel,
+            bodies.inv_mass, bodies.inv_inertia)
+    if cfg.sweep_band_rows > 0:
+        # per-band batched sort — same permutation as segmented_order
+        # (ids payload, tail rows appended in index order)
+        R, B, X = (cfg.sweep_band_rows, cfg.sweep_band_n,
+                   cfg.sweep_band_cols)
+        head = X * B * R
+        tcols = tuple(
+            c[:head].reshape(X, B, R).transpose(1, 0, 2).reshape(B, X * R)
+            for c in cols)
+        scols = jax.lax.sort(tcols, num_keys=1)
+        scols = [jnp.concatenate([s.reshape(-1), c[head:]])
+                 for s, c in zip(scols, cols)]
+    else:
+        scols = jax.lax.sort(cols, num_keys=1)
+    return scols[1], jnp.stack(scols[2:], axis=1)
+
+
+def _sap_tiled_sort_stage(bodies: Bodies, cfg: SimConfig,
+                          slab_major: bool = False):
     """Key computation + carried body sort + slab padding for the tiled
     sweep — split out so benches/micro_broadphase_e.py can prefix-time
     the SHIPPED sub-stages (VERDICT r4 #2).  Returns everything
     sweep_emit_tiled consumes plus the long-lane outputs and the band
-    overflow count."""
+    overflow count.
+
+    ``slab_major`` (round 5): additionally carry the 5 body VALUE
+    columns (vel x/y, angvel, inv_mass, inv_inertia) through the sort
+    and return (order_n, ranked_cols) — the tiled solver's embedded
+    body table rides this sort for free instead of re-sorting
+    (solver.solve_pallas_tiled2)."""
     n = bodies.capacity
     k_long = min(cfg.sap_long_k, n)
     lo, hi = compute_aabbs(bodies)
@@ -584,6 +712,13 @@ def _sap_tiled_sort_stage(bodies: Bodies, cfg: SimConfig):
         scols = jax.lax.sort(cols, num_keys=1)
         fill_row = (jnp.inf, jnp.inf, jnp.inf, jnp.inf)
     _, sxlo, sylo, sxhi, syhi, stxlo, stxhi, sdyn, order = scols
+    # slab-major routing rank: a SEPARATE sort on the solver's legacy
+    # xorder keys — where(active, banded_lo_x, inf) — NOT this sweep's
+    # keys, which park the k_long widest bodies (dense lane) at +inf
+    # and would mis-rank them for the body embedding.  The body value
+    # columns ride along for the solver's embedded table.
+    routing_sorted = _routing_rank_sort(bodies, lo, hi, cfg) \
+        if slab_major else None
     nact = sweep_act.sum(dtype=jnp.int32)
 
     K = -(-cfg.tile_stride // 1024) * 1024     # i32 DMA tiling
@@ -614,19 +749,40 @@ def _sap_tiled_sort_stage(bodies: Bodies, cfg: SimConfig):
     else:
         truex_sorted = None
     return (aabb_sorted, dyn_sorted, order_sorted, truex_sorted, nact,
-            n_slabs, K, W, mp, n_cross, d_pi, d_pj, d_valid)
+            n_slabs, K, W, mp, n_cross, d_pi, d_pj, d_valid,
+            routing_sorted)
 
 
-def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
+def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig,
+                         emit_routing: bool | None = None) -> Pairs:
     """Sweep & prune for scenes beyond the plain kernel's SMEM envelope:
     x-sorted AABB windows are DMA'd per slab and pairs stream to HBM
     (kernels/sweep.py sweep_emit_tiled).  Long bodies use the dense lane
-    (same as the windowed sweep) since a slab window cannot span them."""
+    (same as the windowed sweep) since a slab window cannot span them.
+
+    ``emit_routing`` (round 5): finalize pairs in SLAB-MAJOR order —
+    keyed (slab, pi, pj) instead of (pi, pj) — and attach the
+    TiledRouting byproducts so the tiled solver needs no routing sorts.
+    Within a slab the order is still (pi, pj) ascending, i.e. exactly
+    the order the round-4 solver's stable routing sort produced from
+    (pi, pj)-finalized pairs, so the solver's Gauss-Seidel visit order
+    is unchanged.  Default None = emit whenever this config statically
+    resolves to the tiled solver (callers with user joints pass False:
+    the jointed tiled path keeps the round-4 kernel)."""
     from phyx_tpu.kernels.sweep import sweep_emit_tiled
+    from phyx_tpu.tiling import (pz_table, resolve_tiled, route_pairs,
+                                 routing_bits_ok, slab_dims, zero_safe_mask)
+
+    n = bodies.capacity
+    if emit_routing is None:
+        emit_routing = (cfg.tiled_routing
+                        and resolve_tiled(cfg, n, 2 * cfg.max_pairs))
+    _, _, _, _, n_slabs_s, _ = slab_dims(cfg, n)
+    emit_routing = emit_routing and routing_bits_ok(n, n_slabs_s)
 
     (aabb_sorted, dyn_sorted, order_sorted, truex_sorted, nact,
-     n_slabs, K, W, mp, n_cross, d_pi, d_pj, d_valid) = \
-        _sap_tiled_sort_stage(bodies, cfg)
+     n_slabs, K, W, mp, n_cross, d_pi, d_pj, d_valid, routing_sorted) = \
+        _sap_tiled_sort_stage(bodies, cfg, slab_major=emit_routing)
     if truex_sorted is not None:
         ppi, ppj, num_k, ovf_d, ovf_w = sweep_emit_tiled(
             aabb_sorted, dyn_sorted, order_sorted, nact, mp, n_slabs,
@@ -645,8 +801,28 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig) -> Pairs:
     pi = jnp.concatenate([ki, d_pi.reshape(-1)])
     pj = jnp.concatenate([kj, d_pj.reshape(-1)])
     valid = jnp.concatenate([live, d_valid.reshape(-1)])
-    return _finish(pi, pj, valid, cfg.max_pairs, n_cap=bodies.capacity,
-                   ovf_window=ovf_w, ovf_drop=ovf_d, ovf_band=n_cross)
+    if not emit_routing:
+        return _finish(pi, pj, valid, cfg.max_pairs, n_cap=n,
+                       ovf_window=ovf_w, ovf_drop=ovf_d, ovf_band=n_cross)
+
+    # --- slab-major finalize (round 5) ---
+    order_n, ranked_cols = routing_sorted
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    _, rank = jax.lax.sort((order_n, iota_n), num_keys=1)
+    pz = pz_table(rank, zero_safe_mask(bodies), cfg, n)
+    nm1 = jnp.int32(n - 1)
+    lbl1, lbl2, slab, in_win = route_pairs(
+        pz, jnp.minimum(pi, nm1), jnp.minimum(pj, nm1), cfg, n)
+    ovf_slab = (valid & ~in_win).sum(dtype=jnp.int32)
+    # window-local rows, pre-scaled x8 for the kernel's SMEM addressing
+    # (Ks = the SOLVER's slab stride, not this sweep's 1024-rounded K)
+    Ks = slab_dims(cfg, n)[0]
+    lbl1 = (lbl1 - slab * Ks) * 8
+    lbl2 = (lbl2 - slab * Ks) * 8
+    return _finish_slab_major(
+        pi, pj, valid, lbl1, lbl2, slab, cfg.max_pairs, n, n_slabs_s,
+        order_n, ranked_cols, ovf_window=ovf_w, ovf_drop=ovf_d,
+        ovf_band=n_cross, ovf_slab=ovf_slab)
 
 
 def suggest_sap_window(bodies: Bodies, percentile: float = 99.9,
@@ -704,7 +880,12 @@ def _sweep_kernel_smem_bytes(n: int, max_pairs: int) -> int:
     return 4 * (6 * n + 2 * max_pairs + 8)
 
 
-def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
+def broadphase(bodies: Bodies, cfg: SimConfig,
+               tiled_routing: bool | None = None) -> Pairs:
+    """``tiled_routing``: slab-major finalize control for the tiled
+    sweep variants — None = auto (emit whenever the config statically
+    resolves to the tiled solver), False = never (jointed scenes: the
+    joint-pair exclusion re-sorts the buffer)."""
     if cfg.broadphase == "n2":
         return broadphase_n2(bodies, cfg)
     if cfg.broadphase == "sap_kernel":
@@ -712,16 +893,16 @@ def broadphase(bodies: Bodies, cfg: SimConfig) -> Pairs:
     if cfg.broadphase == "sap_grid":
         return broadphase_sap_grid(bodies, cfg)
     if cfg.broadphase == "sap_tiled":
-        return broadphase_sap_tiled(bodies, cfg)
+        return broadphase_sap_tiled(bodies, cfg, emit_routing=tiled_routing)
     if cfg.broadphase == "sap_window":
         return broadphase_sap(bodies, cfg)
     if cfg.solver_backend == "pallas_tiled":
-        return broadphase_sap_tiled(bodies, cfg)
+        return broadphase_sap_tiled(bodies, cfg, emit_routing=tiled_routing)
     if cfg.solver_backend == "pallas":
         if _sweep_kernel_smem_bytes(bodies.capacity, cfg.max_pairs) \
                 <= 900 * 1024:
             return broadphase_sap_kernel(bodies, cfg)
-        return broadphase_sap_tiled(bodies, cfg)
+        return broadphase_sap_tiled(bodies, cfg, emit_routing=tiled_routing)
     # XLA fallback: the scanned-window grid strictly dominates the gather-
     # based windowed sweep (same window semantics and overflow accounting,
     # no serialized row gathers) and composes with vmap.

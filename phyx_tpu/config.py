@@ -94,6 +94,13 @@ class SimConfig:
     # static-partner landing pad.
     tile_stride: int = 16384
     tile_halo: int = 2048
+    # Slab-major tiled pipeline (round 5): the tiled broadphase finalizes
+    # pairs keyed (slab, pi, pj) with routed endpoints riding the sort,
+    # and the solver runs the slab-segmented kernel with zero routing
+    # sorts (kernels/contact_solver_tiled2.py).  False = round-4 layout
+    # (per-slab block budgets + solve-side routing sorts) — kept for
+    # A/B fencing and for jointed scenes (which force it off anyway).
+    tiled_routing: bool = True
 
     # --- adaptive iteration (0.0 = off, exact fixed-count semantics) ---
     # When > 0: once a velocity iteration's residual (max |impulse delta|)

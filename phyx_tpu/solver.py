@@ -763,6 +763,99 @@ def solve_pallas_tiled(bodies: Bodies, contacts: Contacts,
     return bodies, accum_n, accum_t, res[0], tiled_overflow, joint_accum
 
 
+def solve_pallas_tiled2(bodies: Bodies, contacts: Contacts, routing,
+                        cfg: SimConfig
+                        ) -> Tuple[Bodies, jax.Array, jax.Array, jax.Array]:
+    """Slab-segmented tiled solve (round 5, VERDICT r4 #1/#2): consumes
+    the broadphase's slab-major TiledRouting, so the entire prep is
+    elementwise — no routing sort (the round-4 path's 20-operand
+    _route_rows_to_slabs), no accumulator unroute sort, no body rank /
+    ranked-column sorts (they rode the broadphase's own sort), and the
+    accumulators come back in natural contact order.
+
+    Visit order equals the round-4 tiled path's (slab-ascending,
+    (pi, pj)-ascending within a slab): the round-4 routing sort was
+    STABLE over (pi, pj)-finalized pairs, and the slab-major finalize
+    sorts by exactly (slab, pi, pj).  SAT-dead slots inside live pairs
+    are now visited as exact no-ops instead of being compacted away
+    (~9% extra visits at settled config E, traded against ~50+ ms of
+    sort movement per step).
+
+    Jointless only — jointed tiled scenes keep solve_pallas_tiled.
+    Returns (bodies', accum_n, accum_t, residual); slab clamp overflow
+    was already counted by the broadphase into pairs.ovf_slab."""
+    from phyx_tpu.kernels.contact_solver_streamed import BLK
+    from phyx_tpu.kernels.contact_solver_tiled2 import solve_contacts_tiled2
+    from phyx_tpu.tiling import slab_dims
+
+    n = bodies.capacity
+    c = contacts.valid.shape[0]
+    K, H, W, rps, n_slabs, npad = slab_dims(cfg, n)
+
+    # embedded body table: ranked value columns came off the broadphase
+    # sort; the slab layout is static slicing around the 128-row zero
+    # blocks (same embedding as solve_pallas_tiled)
+    ranked = jnp.concatenate(
+        [routing.ranked_cols, jnp.zeros((n, 3), jnp.float32)], axis=1)
+    pad_rows = n_slabs * rps - n
+    if pad_rows:
+        ranked = jnp.concatenate(
+            [ranked, jnp.zeros((pad_rows, 8), jnp.float32)])
+    zero_blk = jnp.zeros((128, 8), jnp.float32)
+    embedded = jnp.concatenate(
+        [jnp.concatenate([zero_blk, ranked[s * rps:(s + 1) * rps]])
+         for s in range(n_slabs)]
+        + [jnp.zeros((H, 8), jnp.float32)])                # (npad, 8)
+
+    def rep2(x):
+        return jnp.repeat(x, 2, total_repeat_length=c)
+
+    # block-transposed window-local endpoints (lb* pre-scaled x8 by the
+    # broadphase): [b1 x BLK][b2 x BLK] per block, one contiguous DMA
+    t_b12 = jnp.stack([rep2(routing.lb1), rep2(routing.lb2)], axis=1)
+    t_b12 = t_b12.reshape(-1, BLK, 2).swapaxes(1, 2)
+    cw = jnp.stack([
+        contacts.normal[:, 0], contacts.normal[:, 1],
+        contacts.r1[:, 0], contacts.r1[:, 1],
+        contacts.r2[:, 0], contacts.r2[:, 1],
+        contacts.mass_n, contacts.mass_t, contacts.friction,
+        contacts.dst_v, contacts.dst_dv,
+        contacts.c_nt, contacts.warm_n, contacts.warm_t], axis=1)
+    cum = routing.pair_cum * 2                              # slots
+
+    vel_gated = cfg.velocity_tol > 0.0 or cfg.velocity_rel_tol > 0.0
+    pos_gated = cfg.position_rel_tol > 0.0
+    tols = None
+    if vel_gated or pos_gated:
+        tols = jnp.stack([velocity_threshold(cfg, contacts, None),
+                          position_threshold(cfg, contacts, None)])
+    body_out, acc, res = solve_contacts_tiled2(
+        embedded.reshape(-1), t_b12.reshape(-1), cw.reshape(-1), cum,
+        cfg.velocity_iterations, cfg.position_iterations,
+        n_slabs, K, W, vel_gated=vel_gated, pos_gated=pos_gated,
+        tols=tols)
+
+    # un-embed: static slices + one sort keyed by the broadphase's order
+    body_out = body_out.reshape(npad, 8)
+    ranked_out = jnp.concatenate(
+        [body_out[s * K + 128:(s + 1) * K] for s in range(n_slabs)])[:n]
+    unp = jax.lax.sort(
+        (routing.order, ranked_out[:, 0], ranked_out[:, 1],
+         ranked_out[:, 2], ranked_out[:, 5], ranked_out[:, 6],
+         ranked_out[:, 7]),
+        num_keys=1)
+    bodies = bodies.replace(
+        vel=jnp.stack(unp[1:3], axis=1), angvel=unp[3],
+        dvel=jnp.stack(unp[4:6], axis=1), dangvel=unp[6])
+
+    # accumulators are already in contact order — no unroute
+    acc2 = acc.reshape(c, 4)
+    live = contacts.valid
+    accum_n = jnp.where(live, acc2[:, 0], 0.0)
+    accum_t = jnp.where(live, acc2[:, 1], 0.0)
+    return bodies, accum_n, accum_t, res[0]
+
+
 def solve_position(bodies: Bodies, contacts: Contacts, cfg: SimConfig,
                    joints: Optional[XlaJoints] = None) -> Bodies:
     """Displacement iterations on pseudo-velocities — hot loop #2.

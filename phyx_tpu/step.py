@@ -91,7 +91,11 @@ def step(state: State, cfg: SimConfig) -> State:
     """One simulation frame.  jit-compiled per static cfg."""
     bodies = integrate_velocities(state.bodies, cfg)
 
-    pairs = broadphase(bodies, cfg)
+    # jointed scenes: no slab-major routing (exclude_joint_pairs re-sorts
+    # the pair buffer, and the jointed tiled path keeps the round-4 kernel)
+    pairs = broadphase(bodies, cfg,
+                       tiled_routing=False if state.joints.capacity
+                       else None)
     if state.joints.capacity:
         pairs = exclude_joint_pairs(pairs, state.joints,
                                     n_cap=cfg.max_bodies)
@@ -174,7 +178,17 @@ def solve_stage(bodies: Bodies, contacts, pairs, joints,
     joints_out = joints
     if use_pallas:
         # fused kernel: exact serial Gauss-Seidel order, no coloring needed
-        if tiled:
+        if tiled and getattr(pairs, "routing", None) is not None \
+                and j_cap == 0:
+            # Slab-major path (round 5): the broadphase finalized pairs
+            # in slab order with routed endpoints riding along — zero
+            # solve-side routing sorts, accumulators in natural order.
+            # ovf_slab was already counted into pairs by the broadphase.
+            (bodies, accum_n, accum_t,
+             residual) = solver.solve_pallas_tiled2(
+                bodies, contacts, pairs.routing, cfg)
+            joint_accum = jnp.zeros((0, 2), jnp.float32)
+        elif tiled:
             # No pre-compaction: the tiled path re-sorts rows into slabs
             # itself (stable, dead rows last) and returns accumulators in
             # the original contact order — compacting first would just add

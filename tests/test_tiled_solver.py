@@ -189,3 +189,77 @@ def test_tiled_halo_violation_counted_not_dropped():
         solver.pallas_smem_bytes = orig_f
         solver.pallas_streamed_smem_bytes = orig_s
         jax.clear_caches()
+
+
+# ---- slab-major routing (round 5): broadphase-finalized slab order ----
+
+def _sm_cfg(**kw):
+    kw.setdefault("max_bodies", 512)
+    kw.setdefault("max_pairs", 1024)
+    kw.setdefault("broadphase", "sap")   # -> sap_tiled under pallas_tiled
+    kw.setdefault("sap_window", 48)
+    kw.setdefault("solver_backend", "pallas_tiled")
+    kw.setdefault("tile_stride", 256)
+    kw.setdefault("tile_halo", 256)
+    return SimConfig(**kw)
+
+
+def test_slab_major_matches_legacy_routing():
+    """tiled_routing=True (slab-major broadphase finalize +
+    solve_pallas_tiled2) is the same physics as the round-4 routing-sort
+    path at convergence level: within-slab visit order is (pi, pj) on
+    both, but dead SAT slots are no-op-visited instead of compacted, so
+    agreement is float-level per step, not bitwise."""
+    cfg = _sm_cfg()
+    sb = scenes.pile(cfg, 300, seed=0)
+    st_a = sb.build()
+    st_b = sb.build()
+    old = cfg.replace(tiled_routing=False)
+    new = cfg.replace(tiled_routing=True)
+    for _ in range(25):
+        st_a = step_mod.step(st_a, old)
+        st_b = step_mod.step(st_b, new)
+    assert int(st_b.stats.pair_overflow) == 0
+    assert int(st_b.stats.num_contacts) > 100
+    # warm start must be live on the slab-major path too (a broken
+    # cache join would re-converge from zero and inflate the residual)
+    assert float(st_b.stats.residual) < 10 * max(
+        float(st_a.stats.residual), 1e-4)
+    d = np.abs(np.asarray(st_a.bodies.pos) -
+               np.asarray(st_b.bodies.pos)).max()
+    assert d < 5e-3, f"slab-major diverged from legacy routing: {d}"
+
+
+def test_slab_major_kinematic_static_velocity():
+    """zero_safe_mask keeps kinematic statics (inv_mass 0, velocity set)
+    in their true embedded rows on the slab-major path (ADVICE r1 #1
+    regression, round-5 form)."""
+    cfg = _sm_cfg()
+    sb = scenes.pile(cfg, 200, seed=1)
+    sb.add_box((60.0, 0.25), (3.0, 0.25), static=True, friction=0.9,
+               velocity=(2.0, 0.0))
+    sb.add_box((60.0, 1.0), (0.4, 0.4), friction=0.9)
+    st = sb.build()
+    for _ in range(30):
+        st = step_mod.step(st, cfg)
+    box = 202
+    vx = float(st.bodies.vel[box, 0])
+    assert vx > 0.5, f"slab-major belt did not drag the box: vx={vx}"
+    assert int(st.stats.pair_overflow) == 0
+
+
+def test_slab_major_halo_violation_counted():
+    """A contact spanning more than tile_halo x-ranks is clamped by the
+    broadphase's route_pairs and lands in ovf_slab (counted there, not
+    by the solver, on the slab-major path)."""
+    from phyx_tpu.world import SceneBuilder
+
+    cfg = _sm_cfg(max_bodies=1024, max_pairs=2048, sap_window=1024)
+    sb = SceneBuilder(cfg)
+    sb.add_box((0.0, 0.0), (100.0, 0.25), friction=0.5)
+    sb.add_box((99.0, 0.65), (0.4, 0.4), friction=0.5)
+    for k in range(700):
+        sb.add_box((-95.0 + 0.27 * k, 50.0), (0.1, 0.1))
+    st = step_mod.step(sb.build(), cfg)
+    assert int(st.stats.ovf_slab) > 0, "slab clamp was not counted"
+    assert int(st.stats.pair_overflow) >= int(st.stats.ovf_slab)
