@@ -95,7 +95,8 @@ def acquire_tpu_lock(timeout_s: float = 240.0):
 
 def build_envs(num_envs: int, boxes_per_env: int, backend: str,
                band: bool = True, broadphase: str = "sap",
-               sap_window: int = 96, segsort: bool = False,
+               sap_window: int = 96, sap_hits: int = 8,
+               segsort: bool = False,
                velocity_rel_tol: float = 0.0,
                position_rel_tol: float = 0.0):
     """Config E (BASELINE.json:11): independent scenes as one block-diagonal
@@ -136,6 +137,7 @@ def build_envs(num_envs: int, boxes_per_env: int, backend: str,
                       // 512 * 512),
         broadphase=broadphase,
         sap_window=sap_window,
+        sap_hits=sap_hits,
         solver_backend=backend,
         sweep_band_h=400.0 if (band and y_bands > 1) else 0.0,
         sweep_band_y0=-200.0,
@@ -337,6 +339,7 @@ def main():
                              band=not args.no_band,
                              broadphase=args.broadphase or "sap",
                              sap_window=args.sap_window,
+                             sap_hits=args.sap_hits,
                              segsort=args.segsort,
                              velocity_rel_tol=args.rel_tol,
                              position_rel_tol=args.pos_rel_tol)

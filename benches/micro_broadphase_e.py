@@ -80,6 +80,10 @@ def main():
     ap.add_argument("--settle", type=int, default=240)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--grid", action="store_true",
+                    help="add banded sap_grid legs (scanned-window XLA) "
+                         "on the same settled state: timing + pair/ovf "
+                         "parity vs the shipped tiled sweep")
     args = ap.parse_args()
 
     if args.cpu:
@@ -149,6 +153,38 @@ def main():
     print(f"# deltas: sort-stage {p1ms:.2f} | sweep-kernel "
           f"{p2ms - p1ms:.2f} (exact-x cost {p2ms - p2n:+.2f}) | "
           f"finalize {p3ms - p2ms:.2f}", flush=True)
+
+    if not args.grid:
+        return
+
+    # --- banded sap_grid legs (round 5: can the scanned-window XLA form
+    # displace the 161 ms serial walk at mega scale?).  The grid pays
+    # w_max vector passes over ALL rows (the serial walk pays only actual
+    # candidate visits), so the winner flips with the avg/max neighbor
+    # skew — unresolvable on paper, hence this fence.  Validity: a grid
+    # leg only counts if ovf_window == ovf_slots == 0 and num matches
+    # the tiled result on the same state.
+    import dataclasses
+
+    pr_ref = jax.jit(lambda b: bp.broadphase_sap_tiled(b, cfg))(bodies)
+    ref_num = int(pr_ref.num)
+    for w, H in ((384, 8), (512, 8), (384, 12)):
+        gcfg = dataclasses.replace(cfg, broadphase="sap_grid",
+                                   sap_window=w, sap_hits=H)
+
+        def pg(b, gcfg=gcfg):
+            pr = bp.broadphase_sap_grid(b, gcfg)
+            return (pr.pi.sum() + pr.num + pr.overflow).astype(jnp.float32)
+
+        pr = jax.jit(lambda b: bp.broadphase_sap_grid(b, gcfg))(bodies)
+        num, ow, os_ = int(pr.num), int(pr.ovf_window), int(pr.ovf_slots)
+        ob = int(pr.ovf_band)
+        ok = (num == ref_num) and ow == 0 and os_ == 0
+        ms = chain_timer(pg, bodies, args.iters)
+        print(f"G w={w:4d} H={H:2d} full sap_grid {ms:9.2f} ms  "
+              f"num {num} (ref {ref_num}) ovf_w {ow} ovf_s {os_} "
+              f"ovf_band {ob}  {'PARITY-OK' if ok else 'INVALID'}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -279,9 +279,12 @@ def _finish_slab_major(pi, pj, valid, lb1, lb2, slab, max_pairs, n_cap,
 
     key_o = cut(key_s, EMPTY)
     pj_out = cut(pj_s, EMPTY)
-    lb1_o = cut(lb1_s, 0)
-    lb2_o = cut(lb2_s, 0)
     e = key_o == jnp.int32(EMPTY)
+    # dead slots carry whatever route_pairs computed for their clamped
+    # endpoints (sweep-variant-dependent garbage); canonicalize to 0 so
+    # the buffer is a pure function of the pair SET, not the emitter
+    lb1_o = jnp.where(e, 0, cut(lb1_s, 0))
+    lb2_o = jnp.where(e, 0, cut(lb2_s, 0))
     pi_out = jnp.where(e, EMPTY, key_o & jnp.int32((1 << bits) - 1))
     pair_cum = jnp.searchsorted(
         key_o, jnp.arange(n_slabs + 1, dtype=jnp.int32) << bits,
@@ -429,7 +432,8 @@ def broadphase_sap(bodies: Bodies, cfg: SimConfig) -> Pairs:
                    ovf_window=missed)
 
 
-def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
+def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig,
+                        emit_routing: bool | None = None) -> Pairs:
     """Scanned-window sweep & prune: the two-phase, gather-free XLA form.
 
     The serial Pallas emission kernel (sweep_emit_v2) pays ~1.1 us of
@@ -453,8 +457,23 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
     Hits beyond sap_hits and windows still x-open at offset w are counted
     as overflow, like every other variant.  Pure XLA: vmaps and shards
     (the only broadphase beside n2 that composes with vmap'd env batches).
+
+    ``emit_routing`` (round 5): finalize in SLAB-MAJOR order with the
+    TiledRouting byproducts attached, exactly like broadphase_sap_tiled —
+    the routing stage operates on the emitted (pi, pj, valid) candidate
+    buffer and is sweep-agnostic.  Default None = emit whenever this
+    config statically resolves to the tiled solver.
     """
+    from phyx_tpu.tiling import (pz_table, resolve_tiled, route_pairs,
+                                 routing_bits_ok, slab_dims,
+                                 zero_safe_mask)
+
     n = bodies.capacity
+    if emit_routing is None:
+        emit_routing = (cfg.tiled_routing
+                        and resolve_tiled(cfg, n, 2 * cfg.max_pairs))
+    _, _, _, _, n_slabs_s, _ = slab_dims(cfg, n)
+    emit_routing = emit_routing and routing_bits_ok(n, n_slabs_s)
     w = min(cfg.sap_window, n - 1)
     H = min(cfg.sap_hits, w)
     k_long = min(cfg.sap_long_k, n)
@@ -543,8 +562,30 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig) -> Pairs:
     pi = jnp.concatenate([pi.reshape(-1), d_pi.reshape(-1)])
     pj = jnp.concatenate([pj.reshape(-1), d_pj.reshape(-1)])
     vv = jnp.concatenate([valid.reshape(-1), d_valid.reshape(-1)])
-    return _finish(pi, pj, vv, cfg.max_pairs, n_cap=bodies.capacity,
-                   ovf_window=missed, ovf_slots=dropped, ovf_band=n_cross)
+    if not emit_routing:
+        return _finish(pi, pj, vv, cfg.max_pairs, n_cap=bodies.capacity,
+                       ovf_window=missed, ovf_slots=dropped,
+                       ovf_band=n_cross)
+
+    # --- slab-major finalize (round 5, shared shape with sap_tiled's:
+    # route on the candidate buffer, sort keyed (slab, pi, pj)) ---
+    order_n, ranked_cols = _routing_rank_sort(bodies, lo, hi, cfg)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    _, rank = jax.lax.sort((order_n, iota_n), num_keys=1)
+    pz = pz_table(rank, zero_safe_mask(bodies), cfg, n)
+    nm1 = jnp.int32(n - 1)
+    # invalid slots carry pi/pj == -1; clamp into range (they are keyed
+    # EMPTY by valid=False in the finalize and never read)
+    lbl1, lbl2, slab, in_win = route_pairs(
+        pz, jnp.clip(pi, 0, nm1), jnp.clip(pj, 0, nm1), cfg, n)
+    ovf_slab = (vv & ~in_win).sum(dtype=jnp.int32)
+    Ks = slab_dims(cfg, n)[0]
+    lbl1 = (lbl1 - slab * Ks) * 8
+    lbl2 = (lbl2 - slab * Ks) * 8
+    return _finish_slab_major(
+        pi, pj, vv, lbl1, lbl2, slab, cfg.max_pairs, n, n_slabs_s,
+        order_n, ranked_cols, ovf_window=missed, ovf_slots=dropped,
+        ovf_band=n_cross, ovf_slab=ovf_slab)
 
 
 def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
@@ -891,7 +932,7 @@ def broadphase(bodies: Bodies, cfg: SimConfig,
     if cfg.broadphase == "sap_kernel":
         return broadphase_sap_kernel(bodies, cfg)
     if cfg.broadphase == "sap_grid":
-        return broadphase_sap_grid(bodies, cfg)
+        return broadphase_sap_grid(bodies, cfg, emit_routing=tiled_routing)
     if cfg.broadphase == "sap_tiled":
         return broadphase_sap_tiled(bodies, cfg, emit_routing=tiled_routing)
     if cfg.broadphase == "sap_window":

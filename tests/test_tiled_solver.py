@@ -248,6 +248,47 @@ def test_slab_major_kinematic_static_velocity():
     assert int(st.stats.pair_overflow) == 0
 
 
+def test_grid_slab_major_matches_tiled_slab_major():
+    """broadphase_sap_grid(emit_routing=True) must produce the IDENTICAL
+    slab-major pair buffer as broadphase_sap_tiled on the same state —
+    the slab-major finalize is sweep-agnostic (same pair set, same
+    (slab, pi, pj) sort, same routed endpoints), so a config switching
+    config-E's broadphase to the scanned-window grid changes nothing
+    downstream.  Stepped physics is then bit-identical too."""
+    from phyx_tpu import broadphase as bp
+
+    cfg = _sm_cfg(sap_window=400, sap_hits=32)
+    sb = scenes.pile(cfg, 300, seed=0)
+    st = sb.build()
+    for _ in range(10):
+        st = step_mod.step(st, cfg)
+
+    pa = bp.broadphase_sap_tiled(st.bodies, cfg, emit_routing=True)
+    pb = bp.broadphase_sap_grid(st.bodies, cfg, emit_routing=True)
+    assert int(pa.overflow) == 0 and int(pb.overflow) == 0
+    assert pa.routing is not None and pb.routing is not None
+    np.testing.assert_array_equal(np.asarray(pa.pi), np.asarray(pb.pi))
+    np.testing.assert_array_equal(np.asarray(pa.pj), np.asarray(pb.pj))
+    np.testing.assert_array_equal(np.asarray(pa.routing.lb1),
+                                  np.asarray(pb.routing.lb1))
+    np.testing.assert_array_equal(np.asarray(pa.routing.lb2),
+                                  np.asarray(pb.routing.lb2))
+    np.testing.assert_array_equal(np.asarray(pa.routing.pair_cum),
+                                  np.asarray(pb.routing.pair_cum))
+
+    # full-step bit-parity over a window: identical pair buffers feed
+    # identical downstream code
+    gcfg = cfg.replace(broadphase="sap_grid")
+    st_a = st
+    st_b = st
+    for _ in range(10):
+        st_a = step_mod.step(st_a, cfg)
+        st_b = step_mod.step(st_b, gcfg)
+    assert int(st_b.stats.pair_overflow) == 0
+    np.testing.assert_array_equal(np.asarray(st_a.bodies.pos),
+                                  np.asarray(st_b.bodies.pos))
+
+
 def test_slab_major_halo_violation_counted():
     """A contact spanning more than tile_halo x-ranks is clamped by the
     broadphase's route_pairs and lands in ovf_slab (counted there, not
