@@ -206,16 +206,20 @@ class SimConfig:
         small, genuinely-converging envs — BASELINE.md row E).
 
         Sets ``velocity_rel_tol = 1e-2``: the scale-normalized velocity
-        gate, fenced at settled 1024-env config E as quality-NEUTRAL
-        (+24% round 4: 718 -> 888 env-steps/s with bit-identical
-        penetration; trajectory-divergence evidence in BASELINE.md
-        round-5 notes).  The gate changes fixed-iteration semantics, so
-        it is opt-in — this preset IS the opt-in.  Do NOT use it for
-        deep monolithic piles: a 10k-box pile re-solves every frame and
-        the gate either never fires or degrades physics (fenced
-        negative, BASELINE.md round-3 notes).  Add
-        ``position_rel_tol=1e-2`` only where ~+12% penetration is
-        acceptable for another ~+20% speed.
+        gate, fenced at settled 1024-env config E at +22% (round 5:
+        927 -> ~1130 env-steps/s) with QUALITY-BOUNDED trajectory
+        deviation — 500-frame divergence run (BASELINE.md round-5
+        table): worst-case RMS position drift < 1% of a box-half with
+        no growth trend, contact-set churn <= 0.9%, penetration within
+        0.7% of ungated, overflow 0.  The gate changes fixed-iteration
+        semantics (the drift is real, 4 orders above the perturbation
+        control), so it is opt-in — this preset IS the opt-in; right
+        where per-env trajectories must be plausible, not
+        bit-reproducible.  Do NOT use it for deep monolithic piles: a
+        10k-box pile re-solves every frame and the gate either never
+        fires or degrades physics (fenced negative, BASELINE.md
+        round-3 notes).  Add ``position_rel_tol=1e-2`` only where <=5%
+        penetration / ~1.3% churn is acceptable for another ~+30%.
 
         Any field can be overridden: ``SimConfig.rl_preset(
         max_bodies=..., broadphase="sap", ...)``."""
