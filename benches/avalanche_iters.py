@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--boxes", type=int, default=100000)
     ap.add_argument("--settle", type=int, default=1000)
     ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--sap-window", type=int, default=192,
+                    help="starting sweep window — pass the known-settled "
+                         "value (760-832 at 100k) so rollout_autotuned "
+                         "does not retune+recompile mid-settle (each "
+                         "mega-scale recompile is minutes; the 2026-08-20 "
+                         "r5d run TTL'd out on two of them)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -47,7 +53,8 @@ def main():
     else:
         acquire_tpu_lock()
 
-    cfg, st = build("avalanche", args.boxes, "pallas")
+    cfg, st = build("avalanche", args.boxes, "pallas",
+                    sap_window=args.sap_window)
     st, cfg = rollout_autotuned(st, cfg, args.settle, chunk=10)
     float(st.stats.residual)
     print(json.dumps({

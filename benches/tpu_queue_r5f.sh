@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-5 queue F: the 100k rows that TTL'd out of r5d — the autotune
+# retunes (window 192->504->760) forced two mega-scale recompiles and
+# the 90-min item budget died before the measurement printed.  Fix:
+# start at the known-settled window (760) so no retune fires; autotune
+# stays on as the safety net only.
+LOG=${LOG:-/root/repo/BENCH_QUEUE_r5.log}
+TTL=${QUEUE_TTL:-14400}
+T0=$(date +%s)
+cd "$(dirname "$0")/.."
+say() { echo "=== $* ($(date)) ===" | tee -a "$LOG"; }
+left() { echo $(( TTL - ($(date +%s) - T0) )); }
+item() {
+  local budget=$1; shift
+  local label=$1; shift
+  if [ "$(left)" -lt "$budget" ]; then
+    say "SKIP (TTL: $(left)s left < ${budget}s): $label"
+    return
+  fi
+  say "$label"
+  timeout "$budget" "$@" 2>&1 | grep -v "cpu_aot_loader" | tail -14 | tee -a "$LOG"
+}
+
+say "queue r5f start (TTL ${TTL}s) — 100k HEAD + adjudication @ $(git rev-parse --short HEAD)"
+
+# 1. 100k avalanche HEAD row (VERDICT r4 #4): fixed pre-sized window,
+#    autotune as safety net (window 760 = today's final retune value).
+item 5400 "100k avalanche settled HEAD row (window 760, autotune net)" \
+  python bench.py --scene avalanche --boxes 100000 --steps 10 \
+    --settle 1000 --sap-window 760 --autotune
+
+# 2. Iteration-scaling adjudication at 100k (VERDICT r4 #4): does
+#    doubling position iterations move the settled penetration?
+item 5400 "100k position_iterations x1/x2/x4 probe (window 760)" \
+  python benches/avalanche_iters.py --sap-window 760
+
+say "queue r5f done (terminal marker)"
