@@ -251,40 +251,66 @@ def _finish(pi, pj, valid, max_pairs, n_cap=None,
     )
 
 
-def _finish_slab_major(pi, pj, valid, lb1, lb2, slab, max_pairs, n_cap,
+def _finish_slab_major(pi, pj, valid, pz, cfg, max_pairs, n_cap,
                        n_slabs, order_n, ranked_cols,
-                       ovf_window=0, ovf_slots=0, ovf_drop=0, ovf_band=0,
-                       ovf_slab=0) -> Pairs:
+                       ovf_window=0, ovf_slots=0, ovf_drop=0,
+                       ovf_band=0) -> Pairs:
     """Slab-major variant of _finish (round 5): compact candidates into
     the fixed pair buffer sorted by (slab, pi, pj) — (slab, pi) pack
     into one int32 key (tiling.routing_bits_ok guards the fit) — with
     the routed endpoint rows riding the sort as payloads.  The kept-pair
     per-slab cumsum falls out of a searchsorted on the packed key.
-    Attaches TiledRouting for solver.solve_pallas_tiled2."""
+    Attaches TiledRouting for solver.solve_pallas_tiled2.
+
+    Routing runs AFTER a valid-first compaction sort, on the max_pairs
+    survivors only: pz-table gathers are row-serialized on this chip,
+    and the candidate buffer (sweep slots + the (K, N) long-object
+    lane) is 5-10x the pair budget — routing it whole cost the 20k pile
+    ~25% of its step (fenced 2026-08-20: 11.45 -> 8.64 steps/s when the
+    round-5 pipeline first shipped with full-buffer routing).  Under
+    drop-overflow (already a quality failure) the dropped SET differs
+    from the one-sort form: highest (pi, pj) pairs drop rather than
+    highest (slab, pi, pj) — ovf_drop counts them either way."""
     pi = pi.reshape(-1).astype(jnp.int32)
     pj = pj.reshape(-1).astype(jnp.int32)
     valid = valid.reshape(-1)
     num = valid.sum(dtype=jnp.int32)
 
-    bits = max(1, int(n_cap - 1).bit_length())
-    key1 = jnp.where(valid, (slab << bits) | pi, jnp.int32(EMPTY))
+    # stage 1: valid-first compaction on (pi, pj) — the only
+    # candidate-buffer-sized work, 2 operands
+    key1 = jnp.where(valid, pi, jnp.int32(EMPTY))
     pjv = jnp.where(valid, pj, EMPTY)
-    key_s, pj_s, lb1_s, lb2_s = jax.lax.sort(
-        (key1, pjv, lb1, lb2), num_keys=2)
+    key_s, pj_s = jax.lax.sort((key1, pjv), num_keys=2)
 
     def cut(x, fill):
         return jax.lax.dynamic_slice_in_dim(x, 0, max_pairs) \
             if x.shape[0] >= max_pairs else jnp.pad(
                 x, (0, max_pairs - x.shape[0]), constant_values=fill)
 
-    key_o = cut(key_s, EMPTY)
-    pj_out = cut(pj_s, EMPTY)
+    pi_c = cut(key_s, EMPTY)
+    pj_c = cut(pj_s, EMPTY)
+    live = pi_c != jnp.int32(EMPTY)
+
+    # stage 2: route the survivors (2 gathers at max_pairs rows)
+    from phyx_tpu.tiling import route_pairs, slab_dims
+    nm1 = jnp.int32(n_cap - 1)
+    lb1, lb2, slab, in_win = route_pairs(
+        pz, jnp.clip(pi_c, 0, nm1), jnp.clip(pj_c, 0, nm1), cfg, n_cap)
+    ovf_slab = (live & ~in_win).sum(dtype=jnp.int32)
+    # window-local rows, pre-scaled x8 for the kernel's SMEM addressing;
+    # dead slots carry canonical zeros (the buffer is a pure function of
+    # the pair SET, not the emitter)
+    Ks = slab_dims(cfg, n_cap)[0]
+    lb1 = jnp.where(live, (lb1 - slab * Ks) * 8, 0)
+    lb2 = jnp.where(live, (lb2 - slab * Ks) * 8, 0)
+
+    # stage 3: slab-major order — (slab, pi) pack into the sort key,
+    # max_pairs rows, 4 operands
+    bits = max(1, int(n_cap - 1).bit_length())
+    key2 = jnp.where(live, (slab << bits) | pi_c, jnp.int32(EMPTY))
+    key_o, pj_out, lb1_o, lb2_o = jax.lax.sort(
+        (key2, pj_c, lb1, lb2), num_keys=2)
     e = key_o == jnp.int32(EMPTY)
-    # dead slots carry whatever route_pairs computed for their clamped
-    # endpoints (sweep-variant-dependent garbage); canonicalize to 0 so
-    # the buffer is a pure function of the pair SET, not the emitter
-    lb1_o = jnp.where(e, 0, cut(lb1_s, 0))
-    lb2_o = jnp.where(e, 0, cut(lb2_s, 0))
     pi_out = jnp.where(e, EMPTY, key_o & jnp.int32((1 << bits) - 1))
     pair_cum = jnp.searchsorted(
         key_o, jnp.arange(n_slabs + 1, dtype=jnp.int32) << bits,
@@ -464,7 +490,7 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig,
     buffer and is sweep-agnostic.  Default None = emit whenever this
     config statically resolves to the tiled solver.
     """
-    from phyx_tpu.tiling import (pz_table, resolve_tiled, route_pairs,
+    from phyx_tpu.tiling import (pz_table, resolve_tiled,
                                  routing_bits_ok, slab_dims,
                                  zero_safe_mask)
 
@@ -568,24 +594,15 @@ def broadphase_sap_grid(bodies: Bodies, cfg: SimConfig,
                        ovf_band=n_cross)
 
     # --- slab-major finalize (round 5, shared shape with sap_tiled's:
-    # route on the candidate buffer, sort keyed (slab, pi, pj)) ---
+    # compact, route the survivors, sort keyed (slab, pi, pj)) ---
     order_n, ranked_cols = _routing_rank_sort(bodies, lo, hi, cfg)
     iota_n = jnp.arange(n, dtype=jnp.int32)
     _, rank = jax.lax.sort((order_n, iota_n), num_keys=1)
     pz = pz_table(rank, zero_safe_mask(bodies), cfg, n)
-    nm1 = jnp.int32(n - 1)
-    # invalid slots carry pi/pj == -1; clamp into range (they are keyed
-    # EMPTY by valid=False in the finalize and never read)
-    lbl1, lbl2, slab, in_win = route_pairs(
-        pz, jnp.clip(pi, 0, nm1), jnp.clip(pj, 0, nm1), cfg, n)
-    ovf_slab = (vv & ~in_win).sum(dtype=jnp.int32)
-    Ks = slab_dims(cfg, n)[0]
-    lbl1 = (lbl1 - slab * Ks) * 8
-    lbl2 = (lbl2 - slab * Ks) * 8
     return _finish_slab_major(
-        pi, pj, vv, lbl1, lbl2, slab, cfg.max_pairs, n, n_slabs_s,
+        pi, pj, vv, pz, cfg, cfg.max_pairs, n, n_slabs_s,
         order_n, ranked_cols, ovf_window=missed, ovf_slots=dropped,
-        ovf_band=n_cross, ovf_slab=ovf_slab)
+        ovf_band=n_cross)
 
 
 def broadphase_sap_kernel(bodies: Bodies, cfg: SimConfig) -> Pairs:
@@ -811,8 +828,9 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig,
     resolves to the tiled solver (callers with user joints pass False:
     the jointed tiled path keeps the round-4 kernel)."""
     from phyx_tpu.kernels.sweep import sweep_emit_tiled
-    from phyx_tpu.tiling import (pz_table, resolve_tiled, route_pairs,
-                                 routing_bits_ok, slab_dims, zero_safe_mask)
+    from phyx_tpu.tiling import (pz_table, resolve_tiled,
+                                 routing_bits_ok, slab_dims,
+                                 zero_safe_mask)
 
     n = bodies.capacity
     if emit_routing is None:
@@ -851,19 +869,10 @@ def broadphase_sap_tiled(bodies: Bodies, cfg: SimConfig,
     iota_n = jnp.arange(n, dtype=jnp.int32)
     _, rank = jax.lax.sort((order_n, iota_n), num_keys=1)
     pz = pz_table(rank, zero_safe_mask(bodies), cfg, n)
-    nm1 = jnp.int32(n - 1)
-    lbl1, lbl2, slab, in_win = route_pairs(
-        pz, jnp.minimum(pi, nm1), jnp.minimum(pj, nm1), cfg, n)
-    ovf_slab = (valid & ~in_win).sum(dtype=jnp.int32)
-    # window-local rows, pre-scaled x8 for the kernel's SMEM addressing
-    # (Ks = the SOLVER's slab stride, not this sweep's 1024-rounded K)
-    Ks = slab_dims(cfg, n)[0]
-    lbl1 = (lbl1 - slab * Ks) * 8
-    lbl2 = (lbl2 - slab * Ks) * 8
     return _finish_slab_major(
-        pi, pj, valid, lbl1, lbl2, slab, cfg.max_pairs, n, n_slabs_s,
+        pi, pj, valid, pz, cfg, cfg.max_pairs, n, n_slabs_s,
         order_n, ranked_cols, ovf_window=ovf_w, ovf_drop=ovf_d,
-        ovf_band=n_cross, ovf_slab=ovf_slab)
+        ovf_band=n_cross)
 
 
 def suggest_sap_window(bodies: Bodies, percentile: float = 99.9,
