@@ -23,6 +23,12 @@ item() {
 
 say "queue r5f start (TTL ${TTL}s) — 100k HEAD + adjudication @ $(git rev-parse --short HEAD)"
 
+# 0. Ungated E on the post-routing-fix tree (08d5030): quantifies the
+#    compaction-first finalize at E vs the 927.26 of the full-buffer
+#    routing tree (c16cffb/e833576, measured 08:32 today).
+item 4200 "config E 1024 envs UNGATED (routing-fix tree)" \
+  python bench.py --scene envs --envs 1024 --boxes 256 --steps 2 --settle 240
+
 # 1. 100k avalanche HEAD row (VERDICT r4 #4): fixed pre-sized window,
 #    autotune as safety net (window 760 = today's final retune value).
 item 5400 "100k avalanche settled HEAD row (window 760, autotune net)" \
