@@ -165,10 +165,17 @@ def main():
     # leg only counts if ovf_window == ovf_slots == 0 and num matches
     # the tiled result on the same state.
     import dataclasses
+    import os
+
+    legs = ((384, 8), (512, 8), (384, 12))
+    env_legs = os.environ.get("PHYX_GRID_LEGS", "")
+    if env_legs:
+        legs = tuple(tuple(int(v) for v in leg.split(":"))
+                     for leg in env_legs.split(","))
 
     pr_ref = jax.jit(lambda b: bp.broadphase_sap_tiled(b, cfg))(bodies)
     ref_num = int(pr_ref.num)
-    for w, H in ((384, 8), (512, 8), (384, 12)):
+    for w, H in legs:
         gcfg = dataclasses.replace(cfg, broadphase="sap_grid",
                                    sap_window=w, sap_hits=H)
 
