@@ -6,6 +6,12 @@
 # stays on as the safety net only.
 LOG=${LOG:-/root/repo/BENCH_QUEUE_r5.log}
 TTL=${QUEUE_TTL:-14400}
+# absolute cap: the driver's round-end bench proceeds UNSERIALIZED after
+# a 240 s lock wait (~17:05 UTC today); stop early so it never collides
+# with a mid-flight mega-scene program (CLAUDE.md rule 5).
+CAP=$(( $(date -d "2026-08-20 16:40 UTC" +%s) - $(date +%s) ))
+[ "$CAP" -lt 300 ] && CAP=300
+[ "$TTL" -gt "$CAP" ] && TTL=$CAP
 T0=$(date +%s)
 cd "$(dirname "$0")/.."
 say() { echo "=== $* ($(date)) ===" | tee -a "$LOG"; }
