@@ -32,18 +32,18 @@ say "queue r5f start (TTL ${TTL}s) — 100k HEAD + adjudication @ $(git rev-pars
 # 0. Ungated E on the post-routing-fix tree (08d5030): quantifies the
 #    compaction-first finalize at E vs the 927.26 of the full-buffer
 #    routing tree (c16cffb/e833576, measured 08:32 today).
-item 4200 "config E 1024 envs UNGATED (routing-fix tree)" \
+item 2700 "config E 1024 envs UNGATED (routing-fix tree)" \
   python bench.py --scene envs --envs 1024 --boxes 256 --steps 2 --settle 240
 
 # 1. 100k avalanche HEAD row (VERDICT r4 #4): fixed pre-sized window,
 #    autotune as safety net (window 760 = today's final retune value).
-item 5400 "100k avalanche settled HEAD row (window 760, autotune net)" \
+item 4500 "100k avalanche settled HEAD row (window 760, autotune net)" \
   python bench.py --scene avalanche --boxes 100000 --steps 10 \
     --settle 1000 --sap-window 760 --autotune
 
 # 2. Iteration-scaling adjudication at 100k (VERDICT r4 #4): does
 #    doubling position iterations move the settled penetration?
-item 5400 "100k position_iterations x1/x2/x4 probe (window 760)" \
+item 4200 "100k position_iterations x1/x2/x4 probe (window 760)" \
   python benches/avalanche_iters.py --sap-window 760
 
 say "queue r5f done (terminal marker)"

@@ -30,20 +30,20 @@ item() {
 say "queue r5g start (TTL ${TTL}s) — grid H sweep + safe grid-E row @ $(git rev-parse --short HEAD)"
 
 # 1. H sweep at w=384 (384 showed ovf_window 0): find the parity H.
-item 5400 "micro: sap_grid H=16/20/24 legs @ settled E" \
+item 3900 "micro: sap_grid H=16/20/24 legs @ settled E" \
   env PHYX_GRID_LEGS="384:16,384:20,384:24" \
   python benches/micro_broadphase_e.py --grid
 
 # 2. Safe grid-E bench row: w=448 (1.17x the 384 that read ovf_w 0),
 #    H=24.  If valid AND faster than the serial-sweep row, this is the
 #    new ungated-E headline.
-item 4200 "config E 1024 envs UNGATED, sap_grid w=448 H=24" \
+item 2700 "config E 1024 envs UNGATED, sap_grid w=448 H=24" \
   python bench.py --scene envs --envs 1024 --boxes 256 --steps 2 \
     --settle 240 --broadphase sap_grid --sap-window 448 --sap-hits 24
 
 # 3. Gated twin of the same config (the permanent preset row on the
 #    grid pipeline, if 2 is valid).
-item 4200 "config E 1024 envs velocity gate 1e-2, sap_grid w=448 H=24" \
+item 2700 "config E 1024 envs velocity gate 1e-2, sap_grid w=448 H=24" \
   python bench.py --scene envs --envs 1024 --boxes 256 --steps 2 \
     --settle 240 --broadphase sap_grid --sap-window 448 --sap-hits 24 \
     --rel-tol 1e-2
