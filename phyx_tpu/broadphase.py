@@ -924,6 +924,54 @@ def suggest_sap_window(bodies: Bodies, percentile: float = 99.9,
     return max(8, int(np.ceil(w)))
 
 
+def suggest_sap_hits(bodies: Bodies, margin: int = 4,
+                     exclude_long_k: int = 8,
+                     cfg: SimConfig | None = None) -> int:
+    """Host-side hit-slot sizing for the grid sweep (``cfg.sap_hits``).
+
+    Measures every body's count of TRUE forward hits on the current
+    state — forward x-sorted neighbors whose AABB overlaps in both axes
+    (and band, when ``cfg`` sweeps banded keys) — excluding the
+    ``exclude_long_k`` widest bodies (dense lane), and returns the MAX
+    plus ``margin``.  Unlike the window (p99.9 suffices: truncation is
+    counted), hit-slot spill DROPS real pairs into ovf_slots, so the
+    policy sizes for the maximum.  Round-5 fence that motivated this:
+    settled 1024-env config E spills 14224 hits at H=8 and 10160 at
+    H=12 (the tail across 1024 piles is deeper than one 10k pile's,
+    where H=8 never spills); see BASELINE.md round-5 notes."""
+    import numpy as np
+
+    lo, hi = compute_aabbs(bodies)
+    lo = np.asarray(lo).astype(np.float64)
+    hi = np.asarray(hi).astype(np.float64)
+    act = np.asarray(bodies.active).copy()
+    if not act.any():
+        return 8
+    ext = np.where(act, hi[:, 0] - lo[:, 0], -np.inf)
+    act[np.argsort(-ext)[:exclude_long_k]] = False
+    xlo, xhi = lo[act, 0], hi[act, 0]
+    ylo, yhi = lo[act, 1], hi[act, 1]
+    if cfg is not None and cfg.sweep_band_h > 0.0:
+        b = np.floor((lo[act, 1] - cfg.sweep_band_y0) / cfg.sweep_band_h)
+        off = b * float(cfg.sweep_band_span)
+        xlo = xlo + off
+        xhi = xhi + off
+    srt = np.argsort(xlo, kind="stable")
+    xlo, xhi, ylo, yhi = xlo[srt], xhi[srt], ylo[srt], yhi[srt]
+    m = xlo.shape[0]
+    ends = np.searchsorted(xlo, xhi, side="right")
+    best = 0
+    for i in range(m):
+        e = ends[i]
+        if e - i - 1 <= best:
+            continue
+        hits = int(((ylo[i + 1:e] <= yhi[i])
+                    & (ylo[i] <= yhi[i + 1:e])).sum())
+        if hits > best:
+            best = hits
+    return best + margin
+
+
 def _sweep_kernel_smem_bytes(n: int, max_pairs: int) -> int:
     """SMEM of sweep_emit: aabb (N*4 f32), order/dyn (N i32 each), nact,
     pi/pj (max_pairs i32 each) + counters."""

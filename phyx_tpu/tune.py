@@ -55,7 +55,10 @@ def tune_config(state: State, cfg: SimConfig, margin: float = 1.5,
     Adjusts (from host-side measurement of the current state):
       * ``sap_window``  — forward x-neighbor span percentile * margin
         (`broadphase.suggest_sap_window`), multiple of 8, >= 16;
-      * ``sap_hits``    — per-body live-pair p99.9 * margin, in [8, 64];
+      * ``sap_hits``    — MAX true forward AABB hits + 4, in [8, 64]
+        (`broadphase.suggest_sap_hits`; hit-slot spill DROPS pairs, so
+        a percentile under-sizes — the round-5 fence caught settled
+        config E spilling 14k hits at the p99.9-derived H=8);
       * ``max_pairs``   — `suggest_pair_budget` (never shrinks below the
         current live pair count * margin).
 
@@ -66,15 +69,10 @@ def tune_config(state: State, cfg: SimConfig, margin: float = 1.5,
     window = int(suggest_sap_window(state.bodies, margin=margin, cfg=cfg))
     window = max(16, -(-window // 8) * 8)
 
-    # per-body forward-hit distribution: how many of a body's live pairs
-    # name it as the LOWER id (the sweep emits forward hits only)
-    from phyx_tpu.types import ContactCache
-    hits = 8
-    pi = np.asarray(state.cache.pi)
-    live = pi != ContactCache.EMPTY
-    if live.any():
-        counts = np.bincount(pi[live], minlength=state.bodies.capacity)
-        hits = int(np.percentile(counts[counts > 0], 99.9) * margin)
+    # true forward AABB hits, sized for the MAX (slot spill drops pairs;
+    # cache-derived percentiles under-size — see docstring)
+    from phyx_tpu.broadphase import suggest_sap_hits
+    hits = int(suggest_sap_hits(state.bodies, cfg=cfg))
     hits = int(min(64, max(8, hits)))
 
     return dataclasses.replace(

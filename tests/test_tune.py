@@ -85,3 +85,28 @@ def test_rollout_autotuned_recovers_from_overflow():
     # stable afterwards: another chunk stays clean with the tuned config
     st = rollout(st, cfg2, 10)
     assert int(st.stats.pair_overflow) == 0
+
+
+def test_suggest_sap_hits_covers_the_state():
+    """suggest_sap_hits sizes for the MAX true forward hits (round-5
+    fence: hit-slot spill DROPS pairs, so percentiles under-size): the
+    grid sweep at the suggested H must report zero ovf_slots, and a
+    deliberately starved H on the same state must spill."""
+    import dataclasses
+
+    from phyx_tpu import broadphase as bp
+
+    cfg = SimConfig(max_bodies=256, max_pairs=4096, broadphase="sap_grid",
+                    sap_window=192, sap_hits=8)
+    st = settled_pile(cfg)
+    h = bp.suggest_sap_hits(st.bodies, cfg=cfg)
+    assert h >= 8
+
+    ok = bp.broadphase_sap_grid(
+        st.bodies, dataclasses.replace(cfg, sap_hits=min(h, 192)))
+    assert int(ok.ovf_slots) == 0
+
+    starved = bp.broadphase_sap_grid(
+        st.bodies, dataclasses.replace(cfg, sap_hits=2))
+    assert int(starved.ovf_slots) > 0
+    assert int(ok.num) > int(starved.num)
